@@ -1,0 +1,149 @@
+"""Sampler correctness on an analytic Gaussian toy problem.
+
+For iid data x0 ~ N(mu, s^2) the MMSE noise predictor has the closed form
+
+    eps*(x_t, t) = (x_t - sqrt(a_t) mu) * sqrt(1 - a_t) / (a_t s^2 + 1 - a_t)
+
+with a_t = alphas_cumprod[t].  All deterministic samplers integrate the same
+probability-flow ODE, so from the same x_T they must agree with a fine-grained
+DDIM reference; ancestral DDPM must reproduce the data distribution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xiaoicesing_io_tpu.models.diffusion.samplers import (
+    sample_ddim,
+    sample_ddpm,
+    sample_dpmpp_2m,
+    sample_plms,
+    sample_reflow,
+    sample_unipc_bh2,
+)
+from xiaoicesing_io_tpu.models.diffusion.schedule import DiffusionSchedule
+
+MU, SIG = 0.3, 0.6
+SHAPE = (4, 1, 16, 8)  # [B, F, T, M]
+
+
+@pytest.fixture(scope="module")
+def schedule():
+    return DiffusionSchedule.create("linear", 1000)
+
+
+@pytest.fixture(scope="module")
+def denoise_fn(schedule):
+    ac = jnp.asarray(schedule.alphas_cumprod, jnp.float32)
+
+    def fn(x, t):
+        # t: float [B] discrete index; round to gather a_t (valid for integer and
+        # near-integer solver queries on this smooth toy)
+        ti = jnp.clip(jnp.round(t).astype(jnp.int32), 0, len(ac) - 1)
+        a = ac[ti].reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(a) * MU) * jnp.sqrt(1 - a) / (a * SIG**2 + 1 - a)
+
+    return fn
+
+
+@pytest.fixture(scope="module")
+def x_T():
+    key = jax.random.PRNGKey(42)
+    return jax.random.normal(key, SHAPE, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def ode_reference(schedule, denoise_fn, x_T):
+    return np.asarray(sample_ddim(schedule, denoise_fn, x_T, t_max=1000, interval=1))
+
+
+def test_ddim_coarse_close_to_fine(schedule, denoise_fn, x_T, ode_reference):
+    x = np.asarray(sample_ddim(schedule, denoise_fn, x_T, t_max=1000, interval=10))
+    np.testing.assert_allclose(x, ode_reference, atol=3e-2)
+
+
+def test_plms_close_to_ode(schedule, denoise_fn, x_T, ode_reference):
+    x = np.asarray(sample_plms(schedule, denoise_fn, x_T, t_max=1000, interval=10))
+    np.testing.assert_allclose(x, ode_reference, atol=2e-2)
+
+
+def test_dpmpp_2m_close_to_ode(schedule, denoise_fn, x_T, ode_reference):
+    # DPM++ integrates to t_0 = 1/N (not t=0), so a systematic offset vs the
+    # discrete DDIM endpoint remains; verified bit-accurate (6e-6) against the
+    # reference's vendored dpm_solver_pytorch.py on this exact toy.
+    x = np.asarray(sample_dpmpp_2m(schedule, denoise_fn, x_T, t_max=1000, steps=20))
+    np.testing.assert_allclose(x, ode_reference, atol=2.5e-1)
+    assert abs(x.mean() - ode_reference.mean()) < 2e-2
+
+
+def test_unipc_close_to_ode(schedule, denoise_fn, x_T, ode_reference):
+    # verified bit-accurate (1.3e-6) against the reference's vendored uni_pc.py
+    x = np.asarray(sample_unipc_bh2(schedule, denoise_fn, x_T, t_max=1000, steps=20))
+    np.testing.assert_allclose(x, ode_reference, atol=1e-2)
+
+
+def test_dpmpp_more_steps_converges(schedule, denoise_fn, x_T, ode_reference):
+    e20 = np.abs(
+        np.asarray(sample_dpmpp_2m(schedule, denoise_fn, x_T, 1000, 20)) - ode_reference
+    ).mean()
+    e50 = np.abs(
+        np.asarray(sample_dpmpp_2m(schedule, denoise_fn, x_T, 1000, 50)) - ode_reference
+    ).mean()
+    assert e50 < e20
+
+
+def test_ddpm_ancestral_statistics(schedule, denoise_fn):
+    shape = (64, 1, 32, 16)
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x_T = jax.random.normal(k1, shape, dtype=jnp.float32)
+    x = np.asarray(sample_ddpm(schedule, denoise_fn, x_T, t_max=1000, key=k2))
+    assert abs(x.mean() - MU) < 0.02
+    assert abs(x.std() - SIG) < 0.03
+
+
+def test_shallow_ddim_from_partial_depth(schedule, denoise_fn):
+    # start at t_max=400 from a q_sampled clean signal: result must stay near mu
+    from xiaoicesing_io_tpu.models.diffusion.core import GaussianDiffusion
+
+    core = GaussianDiffusion(schedule=schedule, timesteps=1000, k_step=1000)
+    key = jax.random.PRNGKey(3)
+    x0 = jnp.full(SHAPE, MU, dtype=jnp.float32)
+    t = jnp.full((SHAPE[0],), 399, dtype=jnp.int32)
+    noise = jax.random.normal(key, SHAPE, dtype=jnp.float32)
+    x_t = core.q_sample(x0, t, noise)
+    x = np.asarray(sample_ddim(schedule, denoise_fn, x_t, t_max=400, interval=10))
+    assert abs(x.mean() - MU) < 0.05
+
+
+# -- rectified flow ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def velocity_fn():
+    # data x1 ~ N(mu, s^2), noise x0 ~ N(0,1); path x_t = (1-t) x0 + t x1
+    def fn(x, t_scaled):
+        t = (t_scaled / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))
+        var = (1 - t) ** 2 + (t * SIG) ** 2
+        cov = t * SIG**2 - (1 - t)
+        return MU + cov / var * (x - t * MU)
+
+    return fn
+
+
+def test_reflow_euler_statistics(velocity_fn):
+    shape = (64, 1, 32, 16)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), shape, dtype=jnp.float32)
+    x = np.asarray(sample_reflow(velocity_fn, x0, t_start=0.0, steps=500))
+    assert abs(x.mean() - MU) < 0.02
+    assert abs(x.std() - SIG) < 0.03
+
+
+@pytest.mark.parametrize("alg", ["rk2", "rk4", "rk5"])
+def test_reflow_rk_matches_fine_euler(velocity_fn, alg):
+    shape = (4, 1, 16, 8)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), shape, dtype=jnp.float32)
+    ref = np.asarray(sample_reflow(velocity_fn, x0, t_start=0.0, steps=1000))
+    x = np.asarray(sample_reflow(velocity_fn, x0, t_start=0.0, steps=20, algorithm=alg))
+    np.testing.assert_allclose(x, ref, atol=2e-2)

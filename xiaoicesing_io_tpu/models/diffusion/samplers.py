@@ -1,0 +1,450 @@
+"""Scan-fused diffusion / flow samplers.
+
+Every sampler compiles the full K-step denoising loop into ONE XLA program
+via ``jax.lax.scan`` (the reference runs Python loops with tqdm:
+``/root/reference/modules/core/ddpm.py:221-351``).  All step coefficients
+depend only on the (static) time grid, so they are precomputed in float64
+numpy and threaded through the scan as per-step constants — the only traced
+work per step is the denoiser call and a handful of fused element-wise ops.
+
+Implemented algorithms (parity targets in the reference):
+
+* DDPM ancestral          (ddpm.py:149-156)
+* DDIM                    (ddpm.py:158-167)
+* PNDM / PLMS             (ddpm.py:169-204), Adams-Bashforth orders 1-4
+* DPM-Solver++ (2M)       (vendored inference/dpm_solver_pytorch.py; discrete
+                           betas, time_uniform skip, multistep order 2)
+* UniPC (bh2)             (vendored inference/uni_pc.py; multistep order 2
+                           with predictor-corrector)
+* Rectified flow Euler / RK2 / RK4 / RK5  (modules/core/reflow.py:66-138)
+
+``denoise_fn(x, t) -> eps`` takes ``x: [B, F, T, M]`` and a per-batch float
+time ``t: [B]`` (discrete index scale for DDPM-family, continuous*scale for
+reflow).  Samplers run in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import DiffusionSchedule
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _bcast_t(t_val: jnp.ndarray, batch: int) -> jnp.ndarray:
+    return jnp.full((batch,), 1.0, dtype=jnp.float32) * t_val
+
+
+# ---------------------------------------------------------------------------
+# DDPM ancestral
+# ---------------------------------------------------------------------------
+
+def sample_ddpm(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t_max: int,
+    key: jax.Array,
+) -> jnp.ndarray:
+    ts = np.arange(t_max - 1, -1, -1)
+    coefs = np.stack(
+        [
+            schedule.sqrt_recip_alphas_cumprod[ts],
+            schedule.sqrt_recipm1_alphas_cumprod[ts],
+            schedule.posterior_mean_coef1[ts],
+            schedule.posterior_mean_coef2[ts],
+            np.exp(0.5 * schedule.posterior_log_variance_clipped[ts]),
+            (ts != 0).astype(np.float64),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    b = x.shape[0]
+
+    def body(carry, inp):
+        x, key = carry
+        t, c = inp
+        recip, recipm1, mc1, mc2, std, nonzero = (c[i] for i in range(6))
+        eps = denoise_fn(x, _bcast_t(t, b))
+        x_recon = recip * x - recipm1 * eps
+        mean = mc1 * x_recon + mc2 * x
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+        x = mean + nonzero * std * noise
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(
+        body, (x, key), (jnp.asarray(ts, dtype=jnp.float32), jnp.asarray(coefs))
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# DDIM
+# ---------------------------------------------------------------------------
+
+def _ddim_coefs(schedule: DiffusionSchedule, t_max: int, interval: int):
+    ts = np.arange(0, t_max, interval)[::-1]  # reversed(range(0, t_max, interval))
+    a_t = schedule.alphas_cumprod[ts]
+    a_prev = schedule.alphas_cumprod[np.maximum(ts - interval, 0)]
+    c_x = np.sqrt(a_prev) / np.sqrt(a_t)
+    c_e = np.sqrt(a_prev) * (
+        np.sqrt((1 - a_prev) / a_prev) - np.sqrt((1 - a_t) / a_t)
+    )
+    return ts, c_x.astype(np.float32), c_e.astype(np.float32)
+
+
+def sample_ddim(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t_max: int,
+    interval: int,
+) -> jnp.ndarray:
+    ts, c_x, c_e = _ddim_coefs(schedule, t_max, interval)
+    b = x.shape[0]
+
+    def body(x, inp):
+        t, cx, ce = inp
+        eps = denoise_fn(x, _bcast_t(t, b))
+        return cx * x + ce * eps, None
+
+    x, _ = jax.lax.scan(
+        body,
+        x,
+        (jnp.asarray(ts, dtype=jnp.float32), jnp.asarray(c_x), jnp.asarray(c_e)),
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# PNDM / PLMS
+# ---------------------------------------------------------------------------
+
+def sample_plms(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t_max: int,
+    interval: int,
+) -> jnp.ndarray:
+    """PLMS (ref ddpm.py:169-204): transfer via get_x_pred with an
+    Adams-Bashforth-combined noise estimate of ramping order 1,2,3,4."""
+    ts = np.arange(0, t_max, interval)[::-1]
+    a_t = schedule.alphas_cumprod[ts]
+    a_prev = schedule.alphas_cumprod[np.maximum(ts - interval, 0)]
+    a_sq, ap_sq = np.sqrt(a_t), np.sqrt(a_prev)
+    # x_delta = (a_prev - a_t) * (cx * x - ce * noise)
+    cx = 1.0 / (a_sq * (a_sq + ap_sq))
+    ce = 1.0 / (a_sq * (np.sqrt((1 - a_prev) * a_t) + np.sqrt((1 - a_t) * a_prev)))
+    d = a_prev - a_t
+    coefs = np.stack([d * cx, d * ce], axis=1).astype(np.float32)
+    # second eval of the first step uses t-interval clamped to 0
+    t_prev0 = float(max(ts[0] - interval, 0))
+    b = x.shape[0]
+
+    def x_pred(x, noise, c):
+        return x + c[0] * x - c[1] * noise
+
+    def body(carry, inp):
+        x, hist, n_hist = carry  # hist: [3, ...] newest-first
+        t, c = inp
+        eps = denoise_fn(x, _bcast_t(t, b))
+
+        def order1(_):
+            xp = x_pred(x, eps, c)
+            eps_prev = denoise_fn(xp, _bcast_t(jnp.asarray(t_prev0, jnp.float32), b))
+            return (eps + eps_prev) / 2
+
+        def order2(_):
+            return (3 * eps - hist[0]) / 2
+
+        def order3(_):
+            return (23 * eps - 16 * hist[0] + 5 * hist[1]) / 12
+
+        def order4(_):
+            return (55 * eps - 59 * hist[0] + 37 * hist[1] - 9 * hist[2]) / 24
+
+        eps_prime = jax.lax.switch(
+            jnp.minimum(n_hist, 3), [order1, order2, order3, order4], None
+        )
+        x = x_pred(x, eps_prime, c)
+        hist = jnp.concatenate([eps[None], hist[:-1]], axis=0)
+        return (x, hist, n_hist + 1), None
+
+    hist0 = jnp.zeros((3,) + x.shape, dtype=x.dtype)
+    (x, _, _), _ = jax.lax.scan(
+        body,
+        (x, hist0, jnp.asarray(0, jnp.int32)),
+        (jnp.asarray(ts, dtype=jnp.float32), jnp.asarray(coefs)),
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Continuous-time helpers for DPM-Solver++ / UniPC (discrete beta schedule)
+# ---------------------------------------------------------------------------
+
+def _marginals(schedule: DiffusionSchedule, t_max: int, t_cont: np.ndarray):
+    """log_alpha, sigma, lambda at continuous times for the discrete schedule.
+
+    Matches NoiseScheduleVP(schedule='discrete'): piecewise-linear
+    interpolation of 0.5*log(alphas_cumprod) over the grid t_i=(i+1)/N.
+    """
+    N = t_max
+    grid = (np.arange(N) + 1.0) / N
+    log_alpha_grid = 0.5 * np.log(schedule.alphas_cumprod[:N])
+    log_alpha = np.interp(t_cont, grid, log_alpha_grid)
+    sigma = np.sqrt(1.0 - np.exp(2.0 * log_alpha))
+    lam = log_alpha - np.log(sigma)
+    return log_alpha, sigma, lam
+
+
+def _solver_time_grid(t_max: int, steps: int) -> np.ndarray:
+    """time_uniform grid from T=1 to t_0=1/N, steps+1 points."""
+    return np.linspace(1.0, 1.0 / t_max, steps + 1)
+
+
+def _model_t_input(t_cont: np.ndarray, t_max: int) -> np.ndarray:
+    """Continuous time -> the denoiser's discrete-index input in [0, N-1]."""
+    return (t_cont - 1.0 / t_max) * t_max
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++ (2M, multistep, data prediction)
+# ---------------------------------------------------------------------------
+
+def sample_dpmpp_2m(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t_max: int,
+    steps: int,
+    lower_order_final: bool = True,
+) -> jnp.ndarray:
+    """DPM-Solver++ multistep order-2 with time_uniform skip.
+
+    Faithful to DPM_Solver(algorithm_type='dpmsolver++').sample(steps, order=2,
+    skip_type='time_uniform', method='multistep') over a discrete schedule
+    truncated at ``t_max`` (ref call site: ddpm.py:246-284).
+    """
+    ts = _solver_time_grid(t_max, steps)
+    log_a, sigma, lam = _marginals(schedule, t_max, ts)
+    alpha = np.exp(log_a)
+    t_in = _model_t_input(ts, t_max)
+    b = x.shape[0]
+
+    # Per-step coefficients for steps i = 1..steps (update from ts[i-1] -> ts[i])
+    c_x = np.empty(steps)
+    c_m = np.empty(steps)
+    c_d = np.empty(steps)  # coefficient on D1_0 (0 for first-order steps)
+    for i in range(1, steps + 1):
+        h = lam[i] - lam[i - 1]
+        phi_1 = np.expm1(-h)
+        c_x[i - 1] = sigma[i] / sigma[i - 1]
+        c_m[i - 1] = -alpha[i] * phi_1
+        if i == 1:
+            c_d[i - 1] = 0.0
+        else:
+            h_0 = lam[i - 1] - lam[i - 2]
+            r0 = h_0 / h
+            order2 = True
+            if lower_order_final and steps < 10:
+                order2 = min(2, steps + 1 - i) >= 2
+            c_d[i - 1] = -0.5 * alpha[i] * phi_1 / r0 if order2 else 0.0
+
+    eps0 = denoise_fn(x, _bcast_t(jnp.asarray(t_in[0], jnp.float32), b))
+    m0 = (x - float(sigma[0]) * eps0) / float(alpha[0])
+
+    def body(carry, inp):
+        x, m_0, m_1 = carry  # m_0 newest
+        is_last, cx, cm, cd, tin, sig, alp = inp
+        x_new = cx * x + cm * m_0 + cd * (m_0 - m_1)
+
+        def eval_model(_):
+            eps = denoise_fn(x_new, _bcast_t(tin, b))
+            return (x_new - sig * eps) / alp
+
+        m_new = jax.lax.cond(is_last > 0.5, lambda _: m_0, eval_model, None)
+        return (x_new, m_new, m_0), None
+
+    xs = (
+        jnp.asarray((np.arange(1, steps + 1) == steps).astype(np.float32)),
+        jnp.asarray(c_x, jnp.float32),
+        jnp.asarray(c_m, jnp.float32),
+        jnp.asarray(c_d, jnp.float32),
+        jnp.asarray(t_in[1:], jnp.float32),
+        jnp.asarray(sigma[1:], jnp.float32),
+        jnp.asarray(alpha[1:], jnp.float32),
+    )
+    (x, _, _), _ = jax.lax.scan(body, (x, m0, m0), xs)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# UniPC (bh2, multistep order 2, predictor-corrector, data prediction)
+# ---------------------------------------------------------------------------
+
+def sample_unipc_bh2(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t_max: int,
+    steps: int,
+) -> jnp.ndarray:
+    """UniPC variant bh2, order 2, time_uniform, multistep.
+
+    Faithful to UniPC(variant='bh2').sample(steps, order=2,
+    skip_type='time_uniform', method='multistep', lower_order_final=True)
+    (ref call site: ddpm.py:285-322).  For order<=2 the linear system of the
+    universal corrector solves in closed form:
+
+        rks = [r0, 1];  R = [[1, 1], [r0, 1]];  b = [b1, b2]
+        rhos_c = [(b1-b2)/(1-r0), (b2 - r0*b1)/(1-r0)]
+
+    where, with hh = -h, h_phi_1 = expm1(hh), B_h = expm1(hh) (bh2):
+        b1 = (h_phi_1/hh - 1) * 1 / B_h
+        b2 = ((h_phi_1/hh - 1)/hh - 1/2) * 2 / B_h
+
+    and, matching the vendored file's simplifications (uni_pc.py:530-544):
+    the order-2 predictor uses rhos_p = [0.5] and the order-1 corrector uses
+    rhos_c = [0.5] (not the linear-system solutions).
+    """
+    ts = _solver_time_grid(t_max, steps)
+    log_a, sigma, lam = _marginals(schedule, t_max, ts)
+    alpha = np.exp(log_a)
+    t_in = _model_t_input(ts, t_max)
+    b_sz = x.shape[0]
+
+    # static per-step scalars
+    rows = []
+    for i in range(1, steps + 1):
+        h = lam[i] - lam[i - 1]
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = np.expm1(hh)  # bh2
+        b1 = (h_phi_1 / hh - 1.0) / B_h
+        b2 = ((h_phi_1 / hh - 1.0) / hh - 0.5) * 2.0 / B_h
+        # step order (lower_order_final semantics of uni_pc.py)
+        step_order = min(2, steps + 1 - i)
+        if i == 1 or step_order < 2:
+            r0 = 1.0  # unused
+            use_d1 = 0.0
+        else:
+            r0 = (lam[i - 2] - lam[i - 1]) / h
+            use_d1 = 1.0
+        denom = 1.0 - r0 if abs(1.0 - r0) > 1e-12 else 1e-12
+        rho_c1 = (b1 - b2) / denom
+        rho_c2 = (b2 - r0 * b1) / denom
+        # order-1 corrector simplification (uni_pc.py:541-542): rhos_c = [0.5]
+        if use_d1 == 0.0:
+            rho_c1, rho_c2 = 0.0, 0.5
+        rows.append(
+            [
+                sigma[i] / sigma[i - 1],        # 0: c_x
+                -alpha[i] * h_phi_1,            # 1: c_m  (on m_prev_0)
+                -alpha[i] * B_h,                # 2: c_B  (on residual terms)
+                0.5 * use_d1,                   # 3: rho_p (order-2 predictor simplification)
+                rho_c1 * use_d1,                # 4: rhos_c[0] (on D1_0)
+                rho_c2,                         # 5: rhos_c[-1] (on D1_t)
+                1.0 / r0 if use_d1 else 0.0,    # 6: 1/r0 for D1_0
+                t_in[i],                        # 7: model t input
+                1.0 if i < steps else 0.0,      # 8: use_corrector
+            ]
+        )
+    coefs = np.asarray(rows, dtype=np.float32)
+
+    # initial model value at ts[0]
+    eps0 = denoise_fn(x, _bcast_t(jnp.asarray(t_in[0], jnp.float32), b_sz))
+    m0 = (x - float(sigma[0]) * eps0) / float(alpha[0])
+
+    sig_t = jnp.asarray(sigma[1:], jnp.float32)
+    alp_t = jnp.asarray(alpha[1:], jnp.float32)
+
+    def body(carry, inp):
+        x, m_0, m_1 = carry  # m_0 newest
+        c, sig, alp = inp
+        c_x, c_m, c_B, rho_p, rho_c0, rho_cT, inv_r0, tin, use_corr = (
+            c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8],
+        )
+        D1_0 = (m_1 - m_0) * inv_r0
+        x_t_ = c_x * x + c_m * m_0
+        x_pred = x_t_ + c_B * (rho_p * D1_0)
+
+        def corrected(_):
+            eps_t = denoise_fn(x_pred, _bcast_t(tin, b_sz))
+            m_t = (x_pred - sig * eps_t) / alp
+            x_c = x_t_ + c_B * (rho_c0 * D1_0 + rho_cT * (m_t - m_0))
+            return x_c, m_t
+
+        def uncorrected(_):
+            return x_pred, m_0
+
+        x_new, m_new = jax.lax.cond(use_corr > 0.5, corrected, uncorrected, None)
+        return (x_new, m_new, m_0), None
+
+    (x, _, _), _ = jax.lax.scan(body, (x, m0, m0), (jnp.asarray(coefs), sig_t, alp_t))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Rectified flow ODE solvers
+# ---------------------------------------------------------------------------
+
+def sample_reflow(
+    velocity_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t_start: float,
+    steps: int,
+    time_scale_factor: float = 1000.0,
+    algorithm: str = "euler",
+) -> jnp.ndarray:
+    """Fixed-step ODE integration from t_start to 1 (ref reflow.py:66-138).
+
+    ``velocity_fn(x, t_scaled)`` where t_scaled = t * time_scale_factor.
+    """
+    dt = (1.0 - t_start) / max(1, steps)
+    t_grid = t_start + dt * np.arange(steps)
+    b = x.shape[0]
+    s = time_scale_factor
+
+    def v_tr(x, t_tr):
+        return velocity_fn(x, _bcast_t(t_tr * s, b))
+
+    def euler(x, t):
+        return x + v_tr(x, t) * dt
+
+    def rk2(x, t):
+        k1 = v_tr(x, t)
+        k2 = v_tr(x + 0.5 * k1 * dt, t + 0.5 * dt)
+        return x + k2 * dt
+
+    def rk4(x, t):
+        k1 = v_tr(x, t)
+        k2 = v_tr(x + 0.5 * k1 * dt, t + 0.5 * dt)
+        k3 = v_tr(x + 0.5 * k2 * dt, t + 0.5 * dt)
+        k4 = v_tr(x + k3 * dt, t + dt)
+        return x + (k1 + 2 * k2 + 2 * k3 + k4) * dt / 6
+
+    def rk5(x, t):
+        k1 = v_tr(x, t)
+        k2 = v_tr(x + 0.25 * k1 * dt, t + 0.25 * dt)
+        k3 = v_tr(x + 0.125 * (k2 + k1) * dt, t + 0.25 * dt)
+        k4 = v_tr(x + 0.5 * (-k2 + 2 * k3) * dt, t + 0.5 * dt)
+        k5 = v_tr(x + 0.0625 * (3 * k1 + 9 * k4) * dt, t + 0.75 * dt)
+        k6 = v_tr(
+            x + (-3 * k1 + 2 * k2 + 12 * k3 - 12 * k4 + 8 * k5) * dt / 7, t + dt
+        )
+        return x + (7 * k1 + 32 * k3 + 12 * k4 + 32 * k5 + 7 * k6) * dt / 90
+
+    step_fn = {"euler": euler, "rk2": rk2, "rk4": rk4, "rk5": rk5}[algorithm]
+
+    def body(x, t):
+        return step_fn(x, t), None
+
+    x, _ = jax.lax.scan(body, x, jnp.asarray(t_grid, jnp.float32))
+    return x
