@@ -1,0 +1,97 @@
+"""Benchmark: acoustic synthesis throughput on one chip.
+
+Measures end-to-end mel synthesis (encoder condition + aux decoder + K=50
+scan-fused sampler steps on the flagship acoustic model) and reports
+audio-seconds synthesized per wall-second per chip at 44.1 kHz.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+``vs_baseline`` is the real-time factor (the reference publishes no numbers —
+BASELINE.md — so 1x realtime is the anchor).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 4
+T_F = 2048  # frames per segment (~23.8 s audio at hop 512 / 44.1 kHz)
+K = 50  # denoiser steps
+VOCAB = 62
+
+
+def main():
+    from xiaoicesing_io_tpu.config import load_config
+    from xiaoicesing_io_tpu.models.toplevel import AcousticModel
+    from xiaoicesing_io_tpu.training.acoustic import build_acoustic
+
+    cfg = load_config(Path(__file__).parent / "xiaoicesing_io_tpu/configs/acoustic.yaml")
+    cfg["sampling_steps"] = K
+    model, core, normalizer = build_acoustic(cfg, VOCAB, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(1, VOCAB, size=(B, 64)).astype(np.int32))
+    mel2ph = jnp.asarray(
+        np.clip(np.sort(rng.integers(1, 65, size=(B, T_F))), 1, 64).astype(np.int32)
+    )
+    f0 = jnp.asarray(rng.uniform(100, 500, size=(B, T_F)).astype(np.float32))
+    M = cfg["audio_num_mel_bins"]
+
+    params = model.init(
+        jax.random.PRNGKey(0), tokens, mel2ph, f0,
+        jnp.zeros((B, 1, T_F, M)), jnp.zeros((B,)),
+    )
+
+    t_start = cfg.get("T_start_infer", 0.4)
+
+    def synthesize(tokens, mel2ph, f0, key):
+        cond = model.apply(params, tokens, mel2ph, f0, method=AcousticModel.condition)
+        aux = model.apply(params, cond, method=AcousticModel.aux_out)
+        aux = aux * (mel2ph > 0)[:, :, None]
+
+        def velocity_fn(x, t):
+            return model.apply(params, x, t, cond, method=AcousticModel.denoise).astype(
+                jnp.float32
+            )
+
+        x = core.inference(
+            velocity_fn, key, (B, 1, T_F, M),
+            x_end=aux.astype(jnp.float32)[:, None], t_start=t_start,
+            steps=K, algorithm="euler",
+        )
+        mel = normalizer.denorm(x)
+        return mel * (mel2ph > 0)[:, :, None]
+
+    fn = jax.jit(synthesize)
+    key = jax.random.PRNGKey(1)
+    # warmup/compile
+    jax.block_until_ready(fn(tokens, mel2ph, f0, key))
+
+    iters = 5
+    start = time.perf_counter()
+    for i in range(iters):
+        out = fn(tokens, mel2ph, f0, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - start) / iters
+
+    audio_seconds = B * T_F * cfg["hop_size"] / cfg["audio_sample_rate"]
+    throughput = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_synthesized_per_s_per_chip",
+                "value": round(throughput, 2),
+                "unit": "audio_s/s/chip (mel, K=50 reflow euler, bf16)",
+                "vs_baseline": round(throughput, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
