@@ -49,7 +49,9 @@ def main():
 
     t_start = cfg.get("T_start_infer", 0.4)
 
-    def synthesize(tokens, mel2ph, f0, key):
+    # params must be jit ARGUMENTS (closing over them would bake every weight
+    # into the HLO as inline constants — a ~600 MB program)
+    def synthesize(params, tokens, mel2ph, f0, key):
         cond = model.apply(params, tokens, mel2ph, f0, method=AcousticModel.condition)
         aux = model.apply(params, cond, method=AcousticModel.aux_out)
         aux = aux * (mel2ph > 0)[:, :, None]
@@ -70,12 +72,12 @@ def main():
     fn = jax.jit(synthesize)
     key = jax.random.PRNGKey(1)
     # warmup/compile
-    jax.block_until_ready(fn(tokens, mel2ph, f0, key))
+    jax.block_until_ready(fn(params, tokens, mel2ph, f0, key))
 
     iters = 5
     start = time.perf_counter()
     for i in range(iters):
-        out = fn(tokens, mel2ph, f0, jax.random.fold_in(key, i))
+        out = fn(params, tokens, mel2ph, f0, jax.random.fold_in(key, i))
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - start) / iters
 

@@ -1,0 +1,85 @@
+"""Vocoder wrappers: load checkpoints, validate mel parameters, spec2wav.
+
+Capability parity with ``/root/reference/modules/vocoders/nsf_hifigan.py``:
+mel-parameter mismatch warnings, log10 -> ln mel-base conversion, f0-driven
+synthesis.  Weights come from the torch ``model.ckpt`` + ``config.json`` pair
+through the converter.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.torch_ckpt import convert_nsf_hifigan, load_torch_file
+from . import register_vocoder
+from .nsf_hifigan import Generator, NsfHifiganConfig
+
+
+@register_vocoder
+class NsfHifiGAN:
+    def __init__(self, cfg, model_path=None):
+        self.cfg = cfg
+        model_path = Path(model_path or cfg["vocoder_ckpt"])
+        if not model_path.exists():
+            raise FileNotFoundError(
+                f"NSF-HiFiGAN vocoder model is not found at '{model_path}'. "
+                "Please follow instructions in docs/BestPractices.md#vocoders to get one."
+            )
+        with open(model_path.with_name("config.json")) as f:
+            self.h = json.load(f)
+        self.vcfg = NsfHifiganConfig.from_json(self.h)
+        ckpt = load_torch_file(model_path)
+        sd = ckpt.get("generator", ckpt)
+        self.generator = Generator(self.vcfg, dtype=jnp.bfloat16)
+        self.params = convert_nsf_hifigan(sd, self.vcfg)
+        self._check_params()
+        self._spec2wav = jax.jit(
+            lambda params, mel, f0: self.generator.apply(params, mel, f0)
+        )
+
+    def _check_params(self):
+        pairs = [
+            ("audio_sample_rate", "sampling_rate"), ("audio_num_mel_bins", "num_mels"),
+            ("fft_size", "n_fft"), ("win_size", "win_size"), ("hop_size", "hop_size"),
+            ("fmin", "fmin"), ("fmax", "fmax"),
+        ]
+        for ck, vk in pairs:
+            if ck in self.cfg and vk in self.h and self.cfg[ck] != self.h[vk]:
+                print(
+                    f"Mismatch parameters: cfg['{ck}']={self.cfg[ck]} != "
+                    f"{self.h[vk]} (vocoder)"
+                )
+
+    def spec2wav(self, mel: np.ndarray, f0: np.ndarray) -> np.ndarray:
+        """mel: [T, M] or [B, T, M] natural-log (or log10 per cfg mel_base);
+        f0: [T] or [B, T].  -> wav [T*hop] or [B, T*hop]."""
+        mel = np.asarray(mel, np.float32)
+        f0 = np.asarray(f0, np.float32)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel, f0 = mel[None], f0[None]
+        mel_base = self.cfg.get("mel_base", 10)
+        if mel_base != "e":
+            assert mel_base in (10, "10"), "mel_base must be 'e', '10' or 10."
+            mel = 2.30259 * mel  # log10 -> ln
+        wav = np.asarray(self._spec2wav(self.params, jnp.asarray(mel), jnp.asarray(f0)),
+                         np.float32)
+        return wav[0] if squeeze else wav
+
+
+@register_vocoder
+class DDSP:
+    """Placeholder for the pc-ddsp vocoder (TorchScript in the reference:
+    modules/vocoders/ddsp.py).  Loading TorchScript requires torch at
+    runtime; synthesis runs on CPU via torch if available."""
+
+    def __init__(self, cfg, model_path=None):
+        raise NotImplementedError(
+            "DDSP vocoder support requires a TorchScript checkpoint; "
+            "use NsfHifiGAN or file an issue."
+        )
