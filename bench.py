@@ -71,14 +71,18 @@ def main():
 
     fn = jax.jit(synthesize)
     key = jax.random.PRNGKey(1)
-    # warmup/compile
-    jax.block_until_ready(fn(params, tokens, mel2ph, f0, key))
+    # warmup/compile; NOTE: on the axon tunnel block_until_ready does not
+    # actually synchronize — a host fetch (np.asarray) is the only reliable
+    # sync point, and it carries seconds of variable round-trip latency.
+    # So: sync once, enqueue many iterations (device executes them
+    # back-to-back on its stream), sync once, amortize.
+    np.asarray(fn(params, tokens, mel2ph, f0, key)[0, :1, :1])
 
-    iters = 5
+    iters = 20
     start = time.perf_counter()
     for i in range(iters):
         out = fn(params, tokens, mel2ph, f0, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+    np.asarray(out[0, :1, :1])
     elapsed = (time.perf_counter() - start) / iters
 
     audio_seconds = B * T_F * cfg["hop_size"] / cfg["audio_sample_rate"]
