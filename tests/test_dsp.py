@@ -1,0 +1,135 @@
+"""DSP tests: pitch tracking on synthetic signals, harmonic separation,
+variance curve definitions."""
+
+import numpy as np
+import pytest
+
+from xiaoicesing_io_tpu.dsp.features import (
+    amplitude_to_db,
+    get_breathiness,
+    get_energy,
+    get_tension,
+    get_voicing,
+    rms_frames,
+)
+from xiaoicesing_io_tpu.dsp.hnsep import DecomposedWaveform
+from xiaoicesing_io_tpu.dsp.pitch import get_pitch
+
+SR = 44100
+HOP = 512
+
+
+def _sine_sweep(f0_start, f0_end, dur, sr=SR, amp=0.3):
+    t = np.arange(int(dur * sr)) / sr
+    f = np.linspace(f0_start, f0_end, len(t))
+    phase = 2 * np.pi * np.cumsum(f) / sr
+    return (amp * np.sin(phase)).astype(np.float32), f
+
+
+def test_pitch_constant_tone():
+    y = 0.4 * np.sin(2 * np.pi * 220.0 * np.arange(SR) / SR).astype(np.float32)
+    length = len(y) // HOP + 1
+    f0, uv = get_pitch(y, SR, length, hop_size=HOP)
+    voiced = ~uv
+    assert voiced.mean() > 0.9
+    np.testing.assert_allclose(np.median(f0[voiced]), 220.0, rtol=0.02)
+
+
+def test_pitch_sweep_tracks():
+    y, f_true = _sine_sweep(150, 400, 2.0)
+    length = len(y) // HOP + 1
+    f0, uv = get_pitch(y, SR, length, hop_size=HOP)
+    centers = np.minimum(np.arange(length) * HOP, len(y) - 1)
+    ft = f_true[centers]
+    voiced = ~uv
+    assert voiced.mean() > 0.85
+    err = np.abs(f0[voiced] - ft[voiced]) / ft[voiced]
+    assert np.median(err) < 0.03
+
+
+def test_pitch_silence_is_unvoiced():
+    y = (0.001 * np.random.default_rng(0).standard_normal(SR)).astype(np.float32)
+    length = len(y) // HOP + 1
+    f0, uv = get_pitch(y, SR, length, hop_size=HOP)
+    assert uv.mean() > 0.9
+
+
+def test_pitch_voiced_unvoiced_segmentation():
+    rng = np.random.default_rng(0)
+    tone = 0.4 * np.sin(2 * np.pi * 330 * np.arange(SR) / SR)
+    noise = 0.005 * rng.standard_normal(SR)
+    y = np.concatenate([tone, noise, tone]).astype(np.float32)
+    length = len(y) // HOP + 1
+    f0, uv = get_pitch(y, SR, length, hop_size=HOP)
+    third = length // 3
+    assert (~uv[: third - 4]).mean() > 0.8
+    assert uv[third + 4 : 2 * third - 4].mean() > 0.8
+
+
+def test_rms_matches_definition():
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(HOP * 20).astype(np.float32)
+    r = rms_frames(y, 2048, HOP)
+    # frame 4 covers samples [4*HOP-1024, 4*HOP+1024)
+    start = 4 * HOP - 1024
+    seg = y[start : start + 2048]
+    np.testing.assert_allclose(r[4], np.sqrt(np.mean(seg**2)), rtol=1e-6)
+
+
+def test_amplitude_to_db_top_db():
+    a = np.array([1.0, 1e-3, 1e-7])
+    db = amplitude_to_db(a)
+    assert db[0] == 0.0
+    assert db[1] == -60.0
+    assert db[2] == -80.0  # clipped by top_db=80 relative to max
+
+
+def test_harmonic_separation_pure_tone_plus_noise():
+    rng = np.random.default_rng(2)
+    n = SR  # 1 s
+    f0_hz = 220.0
+    tone = 0.3 * np.sin(2 * np.pi * f0_hz * np.arange(n) / SR)
+    noise = 0.03 * rng.standard_normal(n)
+    y = (tone + noise).astype(np.float32)
+    length = n // HOP + 1
+    f0 = np.full(length, f0_hz, np.float32)
+    dw = DecomposedWaveform(y, SR, f0, hop_size=HOP, fft_size=2048, win_size=2048)
+    harm = dw.harmonic()
+    ap = dw.aperiodic()
+    # energies: harmonic close to tone, aperiodic close to noise (mid region)
+    sl = slice(4096, n - 4096)
+    tone_e = np.sqrt(np.mean(tone[sl] ** 2))
+    harm_e = np.sqrt(np.mean(harm[sl] ** 2))
+    ap_e = np.sqrt(np.mean(ap[sl] ** 2))
+    assert abs(harm_e - tone_e) / tone_e < 0.15
+    assert ap_e < 2.5 * np.sqrt(np.mean(noise[sl] ** 2))
+    # reconstruction identity
+    np.testing.assert_allclose(harm + ap, y, atol=1e-4)
+
+
+def test_variance_curves_sane():
+    rng = np.random.default_rng(3)
+    n = SR
+    f0_hz = 220.0
+    t = np.arange(n) / SR
+    # tone with 3 harmonics + noise
+    y = (
+        0.3 * np.sin(2 * np.pi * f0_hz * t)
+        + 0.1 * np.sin(2 * np.pi * 2 * f0_hz * t)
+        + 0.05 * np.sin(2 * np.pi * 3 * f0_hz * t)
+        + 0.01 * rng.standard_normal(n)
+    ).astype(np.float32)
+    length = n // HOP + 1
+    f0 = np.full(length, f0_hz, np.float32)
+    dw = DecomposedWaveform(y, SR, f0, hop_size=HOP, fft_size=2048, win_size=2048)
+    energy = get_energy(y, length, hop_size=HOP, win_size=2048)
+    breath = get_breathiness(dw, length=length)
+    voic = get_voicing(dw, length=length)
+    tens = get_tension(dw, length=length)
+    assert energy.shape == breath.shape == voic.shape == tens.shape == (length,)
+    mid = slice(8, length - 8)
+    # voicing dominates breathiness for a harmonic-rich signal
+    assert (voic[mid] > breath[mid]).all()
+    # tension is a logit of the non-base harmonic ratio: finite, mostly < 0
+    assert np.isfinite(tens[mid]).all()
+    assert np.median(tens[mid]) < 0

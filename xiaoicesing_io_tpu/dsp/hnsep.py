@@ -1,0 +1,151 @@
+"""Harmonic / aperiodic decomposition by comb STFT masking.
+
+Re-design of the reference's ``DecomposedWaveform``
+(``/root/reference/utils/decomposed_waveform.py``).  The reference's
+``world`` algorithm resynthesizes via pyworld CheapTrick+D4C; its
+``kth_harmonic`` isolates single harmonics by masking STFT bins around
+``k * f0`` under a Nuttall window (decomposed_waveform.py:132-193).  We use
+that same masking machinery for everything: the *full* harmonic part is the
+comb of all harmonic bands (k=1..N up to Nyquist), and the aperiodic part is
+the residual ``waveform - harmonic``.  This is pyworld-free, deterministic,
+and preserves the downstream curve definitions (breathiness/voicing/tension
+are RMS-dB measures of these parts, ``utils/binarizer_utils.py:105-209``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..utils.curves import interp_f0
+
+
+def nuttall_window(n: int) -> np.ndarray:
+    """(parity: decomposed_waveform.py:158-164 — periodic form)."""
+    phase = np.arange(n) / n * 2 * np.pi
+    return (
+        0.355768
+        - 0.487396 * np.cos(phase)
+        + 0.144232 * np.cos(2 * phase)
+        - 0.012604 * np.cos(3 * phase)
+    )
+
+
+def stft_centered(x: np.ndarray, n_fft: int, hop: int, window: np.ndarray) -> np.ndarray:
+    """torch.stft(center=True, reflect-pad) equivalent. -> [frames, bins]"""
+    pad = n_fft // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(xp) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    return np.fft.rfft(xp[idx] * window[None, :], axis=1)
+
+
+def istft_centered(
+    spec: np.ndarray, n_fft: int, hop: int, window: np.ndarray, length: int
+) -> np.ndarray:
+    """torch.istft equivalent: windowed overlap-add with squared-window
+    normalization, cropping the center padding."""
+    frames = np.fft.irfft(spec, n_fft, axis=1) * window[None, :]
+    total = n_fft + hop * (len(spec) - 1)
+    out = np.zeros(total)
+    norm = np.zeros(total)
+    w2 = window ** 2
+    for i in range(len(spec)):
+        out[i * hop : i * hop + n_fft] += frames[i]
+        norm[i * hop : i * hop + n_fft] += w2
+    pad = n_fft // 2
+    out = out[pad : pad + length]
+    norm = norm[pad : pad + length]
+    return out / np.maximum(norm, 1e-8)
+
+
+class DecomposedWaveform:
+    """Harmonic/aperiodic parts + per-harmonic isolation.
+
+    Interface parity with the reference class: ``harmonic()``,
+    ``harmonic(k)``, ``aperiodic()``, and the ``samplerate/hop_size/
+    fft_size/win_size`` properties.
+    """
+
+    def __init__(
+        self, waveform, samplerate, f0, *,
+        hop_size=None, fft_size=None, win_size=None,
+        base_harmonic_radius: float = 3.5, algorithm: str = "comb",
+    ):
+        self._waveform = np.asarray(waveform, np.float64)
+        self._samplerate = samplerate
+        self._f0 = np.asarray(f0, np.float64)
+        self._hop_size = hop_size
+        self._fft_size = fft_size if fft_size is not None else win_size
+        self._win_size = win_size
+        self._half_width = base_harmonic_radius
+        self._harmonic_part: Optional[np.ndarray] = None
+        self._aperiodic_part: Optional[np.ndarray] = None
+        self._harmonics: Dict[int, np.ndarray] = {}
+
+    samplerate = property(lambda self: self._samplerate)
+    hop_size = property(lambda self: self._hop_size)
+    fft_size = property(lambda self: self._fft_size)
+    win_size = property(lambda self: self._win_size)
+
+    # -- internals ----------------------------------------------------------
+
+    def _aligned_f0(self, n_frames: int) -> np.ndarray:
+        f0 = self._f0
+        if len(f0) < n_frames:
+            f0 = np.pad(f0, (0, n_frames - len(f0)), mode="edge")
+        f0, _ = interp_f0(f0[:n_frames], uv=f0[:n_frames] == 0)
+        return f0
+
+    def _comb_mask_filter(self, harmonic_lo: int, harmonic_hi: Optional[int]) -> np.ndarray:
+        """Resynthesize keeping bins near harmonics in [lo, hi] (1-based)."""
+        win_size = self._win_size
+        hop = self._hop_size
+        sr = self._samplerate
+        window = nuttall_window(win_size)
+        spec = stft_centered(self._waveform, win_size, hop, window)
+        n_frames, n_bins = spec.shape
+        f0 = self._aligned_f0(n_frames)
+        bins = np.arange(n_bins)[None, :]
+        if harmonic_hi is None:
+            harmonic_hi = int(np.floor((sr / 2) / max(f0.min(), 1.0))) + 1
+        mask = np.zeros((n_frames, n_bins), bool)
+        for k in range(harmonic_lo, harmonic_hi + 1):
+            center = f0 * k * win_size / sr  # [frames]
+            lo = np.clip(center - self._half_width, 0, None)
+            hi = np.clip(center + self._half_width, None, n_bins)
+            mask |= (center[:, None] >= 1) & (bins >= lo[:, None]) & (bins < hi[:, None])
+        return istft_centered(spec * mask, win_size, hop, window, len(self._waveform))
+
+    # -- public API ---------------------------------------------------------
+
+    def harmonic(self, k: Optional[int] = None) -> np.ndarray:
+        if k is not None:
+            if k not in self._harmonics:
+                # isolate harmonic (k+1) from the *harmonic part*, matching
+                # the reference's convention (k starts at 0)
+                win_size = self._win_size
+                window = nuttall_window(win_size)
+                spec = stft_centered(self.harmonic(), win_size, self._hop_size, window)
+                n_frames, n_bins = spec.shape
+                f0 = self._aligned_f0(n_frames) * (k + 1)
+                bins = np.arange(n_bins)[None, :]
+                center = f0 * win_size / self._samplerate
+                lo = np.clip(center - self._half_width, 0, None)
+                hi = np.clip(center + self._half_width, None, n_bins)
+                mask = (center[:, None] >= 1) & (bins >= lo[:, None]) & (bins < hi[:, None])
+                self._harmonics[k] = istft_centered(
+                    spec * mask, win_size, self._hop_size, window, len(self._waveform)
+                ).astype(np.float32)
+            return self._harmonics[k]
+        if self._harmonic_part is None:
+            self._harmonic_part = self._comb_mask_filter(1, None).astype(np.float32)
+        return self._harmonic_part
+
+    def aperiodic(self) -> np.ndarray:
+        if self._aperiodic_part is None:
+            self._aperiodic_part = (
+                self._waveform - self.harmonic().astype(np.float64)
+            ).astype(np.float32)
+        return self._aperiodic_part

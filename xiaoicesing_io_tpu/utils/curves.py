@@ -73,12 +73,12 @@ def cross_fade(a: np.ndarray, b: np.ndarray, idx: int) -> np.ndarray:
 def smooth_kernel_sinusoidal(width_frames: int) -> np.ndarray:
     """Half-sine FIR smoothing kernel, unit sum.
 
-    The reference smooths energy/breathiness/base-pitch curves with a conv
-    whose weights are a normalized half-period sine
-    (``utils/binarizer_utils.py:212-227``).
+    Exact parity with ``SinusoidalSmoothingConv1d``
+    (``utils/binarizer_utils.py:212-227``): sin(linspace(0, 1, n) * pi),
+    normalized — note the zero-valued endpoints.
     """
     n = int(width_frames)
-    w = np.sin(np.pi * (np.arange(n) + 0.5) / n)
+    w = np.sin(np.linspace(0.0, 1.0, n) * np.pi)
     return (w / w.sum()).astype(np.float32)
 
 
