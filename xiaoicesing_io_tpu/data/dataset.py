@@ -1,0 +1,156 @@
+"""Binarized datasets + batch collators.
+
+Capability parity with ``/root/reference/basics/base_dataset.py`` and the
+dataset/collator classes in ``training/acoustic_task.py:39-63`` /
+``training/variance_task.py:30-68``.  TPU-first difference: collators pad to
+shape buckets (frames to multiples of ``frame_bucket``, tokens/notes to
+multiples of ``token_bucket``) so jitted train steps compile once per bucket
+instead of once per batch.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..utils import collate_nd
+from .indexed_dataset import IndexedDataset
+
+FRAME_BUCKET = 128
+TOKEN_BUCKET = 32
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class BaseDataset:
+    def __init__(self, data_dir, prefix: str, size_key: str = "lengths",
+                 preload: bool = False):
+        self.data_dir = Path(data_dir)
+        self.prefix = prefix
+        with open(self.data_dir / f"{prefix}.meta", "rb") as f:
+            self.metadata = pickle.load(f)
+        self.sizes = np.asarray(self.metadata[size_key])
+        self._ds = IndexedDataset(self.data_dir, prefix)
+        self._preloaded = None
+        if preload:
+            self._preloaded = [self._ds[i] for i in range(len(self._ds))]
+
+    def __len__(self):
+        return len(self.sizes)
+
+    def num_frames(self, index: int) -> int:
+        return int(self.sizes[index])
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        if self._preloaded is not None:
+            return self._preloaded[index]
+        return self._ds[index]
+
+
+class AcousticDataset(BaseDataset):
+    def __init__(self, data_dir, prefix, cfg, preload=False):
+        super().__init__(data_dir, prefix, size_key=cfg.get("dataset_size_key", "lengths"),
+                         preload=preload)
+        self.cfg = cfg
+        self.required_variances = [
+            v for v in ("energy", "breathiness", "voicing", "tension")
+            if cfg.get(f"use_{v}_embed", False)
+        ]
+
+    def collate(self, indices: List[int], pad_to_bucket: bool = True) -> Dict[str, np.ndarray]:
+        samples = [self[i] for i in indices]
+        T_f = max(s["mel"].shape[0] for s in samples)
+        T_ph = max(len(s["tokens"]) for s in samples)
+        if pad_to_bucket:
+            T_f = _round_up(T_f, FRAME_BUCKET)
+            T_ph = _round_up(T_ph, TOKEN_BUCKET)
+        batch = {
+            "tokens": collate_nd([s["tokens"] for s in samples], max_len=T_ph).astype(np.int32),
+            "mel": collate_nd([s["mel"] for s in samples], max_len=T_f).astype(np.float32),
+            "mel2ph": collate_nd([s["mel2ph"] for s in samples], max_len=T_f).astype(np.int32),
+            "f0": collate_nd([s["f0"] for s in samples], max_len=T_f).astype(np.float32),
+        }
+        for v in self.required_variances:
+            batch[v] = collate_nd([s[v] for s in samples], max_len=T_f).astype(np.float32)
+        if self.cfg.get("use_key_shift_embed", False):
+            batch["key_shift"] = np.stack(
+                [np.full(T_f, s["key_shift"], np.float32) for s in samples]
+            )
+        if self.cfg.get("use_speed_embed", False):
+            batch["speed"] = np.stack(
+                [np.full(T_f, s["speed"], np.float32) for s in samples]
+            )
+        if self.cfg.get("use_spk_id", False):
+            batch["spk_ids"] = np.asarray([s["spk_id"] for s in samples], np.int32)
+        return batch
+
+
+class VarianceDataset(BaseDataset):
+    def __init__(self, data_dir, prefix, cfg, preload=False):
+        super().__init__(data_dir, prefix, size_key=cfg.get("dataset_size_key", "lengths"),
+                         preload=preload)
+        self.cfg = cfg
+        self.predict_variances = [
+            v for v in ("energy", "breathiness", "voicing", "tension")
+            if cfg.get(f"predict_{v}", False)
+        ]
+
+    def collate(self, indices: List[int], pad_to_bucket: bool = True) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        samples = [self[i] for i in indices]
+        T_ph = max(len(s["tokens"]) for s in samples)
+        if pad_to_bucket:
+            T_ph = _round_up(T_ph, TOKEN_BUCKET)
+        batch = {
+            "tokens": collate_nd([s["tokens"] for s in samples], max_len=T_ph).astype(np.int32),
+            "ph_dur": collate_nd([s["ph_dur"] for s in samples], max_len=T_ph).astype(np.int32),
+        }
+        if cfg.get("predict_dur", True):
+            batch["ph2word"] = collate_nd(
+                [s["ph2word"] for s in samples], max_len=T_ph
+            ).astype(np.int32)
+            batch["midi"] = collate_nd([s["midi"] for s in samples], max_len=T_ph).astype(np.int32)
+        if "mel2ph" in samples[0]:
+            T_f = max(s["mel2ph"].shape[0] for s in samples)
+            if pad_to_bucket:
+                T_f = _round_up(T_f, FRAME_BUCKET)
+            batch["mel2ph"] = collate_nd(
+                [s["mel2ph"] for s in samples], max_len=T_f
+            ).astype(np.int32)
+            batch["pitch"] = collate_nd([s["pitch"] for s in samples], max_len=T_f).astype(np.float32)
+            batch["uv"] = collate_nd([s["uv"] for s in samples], max_len=T_f).astype(bool)
+        if cfg.get("predict_pitch", True):
+            T_n = max(s["note_midi"].shape[0] for s in samples)
+            if pad_to_bucket:
+                T_n = _round_up(T_n, TOKEN_BUCKET)
+            batch["note_midi"] = collate_nd(
+                [s["note_midi"] for s in samples], pad_value=-1.0, max_len=T_n
+            ).astype(np.float32)
+            batch["note_rest"] = collate_nd(
+                [s["note_rest"] for s in samples], pad_value=True, max_len=T_n
+            ).astype(bool)
+            batch["note_dur"] = collate_nd(
+                [s["note_dur"] for s in samples], max_len=T_n
+            ).astype(np.int32)
+            if cfg.get("use_glide_embed", False):
+                batch["note_glide"] = collate_nd(
+                    [s["note_glide"] for s in samples], max_len=T_n
+                ).astype(np.int32)
+            batch["mel2note"] = collate_nd(
+                [s["mel2note"] for s in samples], max_len=batch["mel2ph"].shape[1]
+            ).astype(np.int32)
+            batch["base_pitch"] = collate_nd(
+                [s["base_pitch"] for s in samples], max_len=batch["mel2ph"].shape[1]
+            ).astype(np.float32)
+        for v in self.predict_variances:
+            batch[v] = collate_nd(
+                [s[v] for s in samples], max_len=batch["mel2ph"].shape[1]
+            ).astype(np.float32)
+        if cfg.get("use_spk_id", False):
+            batch["spk_ids"] = np.asarray([s["spk_id"] for s in samples], np.int32)
+        return batch

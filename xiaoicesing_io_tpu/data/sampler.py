@@ -1,0 +1,130 @@
+"""Frame-budget distributed batch sampler.
+
+Capability parity with ``DsBatchSampler``
+(``/root/reference/utils/training_utils.py:74-197``): size-bucketed dynamic
+batching capped by frames/items per batch, sort-by-similar-size with a frame
+grid quantization, per-epoch shuffling, round-robin rank assignment with
+leftover padding so every replica gets equal batch counts, and batch counts
+made a multiple of ``accumulate_grad_batches``.
+
+Difference: sampling here is fully deterministic in (seed, epoch) — the
+reference leaves its rng unseeded (training_utils.py:107), which makes
+multi-rank assignments reproducible only by accident.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils import batch_by_size
+
+
+class DistributedBatchSampler:
+    def __init__(
+        self,
+        dataset,
+        max_batch_frames: int,
+        max_batch_size: int,
+        num_replicas: int = 1,
+        rank: int = 0,
+        required_batch_count_multiple: int = 1,
+        sort_by_similar_size: bool = True,
+        shuffle_sample: bool = True,
+        shuffle_batch: bool = False,
+        frame_count_grid: int = 6,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        if rank >= num_replicas or rank < 0:
+            raise ValueError(f"Invalid rank {rank} for num_replicas {num_replicas}")
+        self.dataset = dataset
+        self.max_batch_frames = max_batch_frames
+        self.max_batch_size = max_batch_size
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.required_batch_count_multiple = required_batch_count_multiple
+        self.sort_by_similar_size = sort_by_similar_size
+        self.shuffle_sample = shuffle_sample
+        self.shuffle_batch = shuffle_batch
+        self.frame_count_grid = frame_count_grid
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.batches: Optional[List[List[int]]] = None
+        self._formed = None
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        self._form_batches()
+
+    def _form_batches(self):
+        if self._formed == (self.epoch, self.seed):
+            return
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.shuffle_sample:
+            indices = rng.permutation(len(self.dataset))
+            if self.sort_by_similar_size:
+                grid = self.frame_count_grid
+                sizes = (
+                    np.round(np.asarray(self.dataset.sizes)[indices] / grid) * grid
+                ).clip(grid, None)
+                indices = indices[np.argsort(sizes, kind="mergesort")]
+            indices = indices.tolist()
+        else:
+            indices = list(range(len(self.dataset)))
+
+        batches = batch_by_size(
+            indices, self.dataset.num_frames,
+            max_batch_frames=self.max_batch_frames, max_batch_size=self.max_batch_size,
+        )
+        if len(batches) < self.num_replicas:
+            raise RuntimeError("There is not enough batch to assign to each node.")
+
+        floored_total = (len(batches) // self.num_replicas) * self.num_replicas
+        if self.drop_last and len(batches) > floored_total:
+            batches = batches[:floored_total]
+            leftovers = []
+        elif self.shuffle_batch:
+            leftovers = (
+                rng.permutation(len(batches) - floored_total) + floored_total
+            ).tolist()
+        else:
+            leftovers = list(range(floored_total, len(batches)))
+
+        assignment = np.arange(floored_total).reshape(-1, self.num_replicas).transpose()
+        if self.shuffle_batch:
+            assignment = rng.permuted(assignment, axis=0)[self.rank].tolist()
+        else:
+            assignment = assignment[self.rank].tolist()
+
+        floored = len(assignment)
+        if self.rank < len(leftovers):
+            assignment.append(leftovers[self.rank])
+        elif len(leftovers) > 0:
+            assignment.append(assignment[self.epoch % floored])
+
+        if (
+            self.required_batch_count_multiple > 1
+            and len(assignment) % self.required_batch_count_multiple != 0
+        ):
+            ceiled = math.ceil(
+                len(assignment) / self.required_batch_count_multiple
+            ) * self.required_batch_count_multiple
+            for i in range(ceiled - len(assignment)):
+                assignment.append(
+                    assignment[(i + self.epoch * self.required_batch_count_multiple) % floored]
+                )
+
+        self.batches = [list(batches[i]) for i in assignment]
+        self._formed = (self.epoch, self.seed)
+
+    def __iter__(self):
+        self._form_batches()
+        return iter(self.batches)
+
+    def __len__(self):
+        self._form_batches()
+        return len(self.batches)

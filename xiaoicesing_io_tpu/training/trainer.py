@@ -1,0 +1,224 @@
+"""Training driver: the TPU-native equivalent of the reference's Lightning
+Trainer wiring (``basics/base_task.py:395-520``).
+
+Features with reference parity:
+* frame-budget distributed batch sampler, per-epoch reshuffling
+* jitted DP train step over a ``jax.sharding.Mesh`` (grads all-reduced by the
+  GSPMD partitioner), bf16-mixed compute via model dtype
+* ``val_check_interval``-step validation: losses (batch-size weighted means),
+  objective metrics, TensorBoard figures/audio
+* step checkpoints with top-k + permanent retention, resume from latest
+* stdout + TensorBoard logging with lr reporting, ``max_updates`` stop
+* param freezing by prefix and finetune loading (``frozen_params`` /
+  ``finetune_*`` config keys, ref: base_task.py:93-166)
+
+The per-host data layout mirrors DsBatchSampler's rank assignment: each host
+forms its own batch list with ``rank = jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.sampler import DistributedBatchSampler
+from ..parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from .checkpoint import CheckpointManager
+from .train_state import TrainState
+from .schedules import build_lr_schedule
+
+
+def freeze_params_mask(params, frozen_prefixes):
+    """Boolean pytree: True = trainable (ref freezing: base_task.py:93-108)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {}
+    for k in flat:
+        path = ".".join(k)
+        mask[k] = not any(path.startswith(p.replace("model.", "")) for p in frozen_prefixes)
+    return flax.traverse_util.unflatten_dict(mask)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg,
+        state: TrainState,
+        train_step: Callable,
+        val_losses_fn: Callable,  # (params, batch, key) -> dict of scalars
+        train_dataset,
+        valid_dataset,
+        category: str,
+        collate_fn: Optional[Callable] = None,
+        on_validation_extras: Optional[Callable] = None,
+    ):
+        self.cfg = cfg
+        self.state = state
+        self.category = category
+        self.train_dataset = train_dataset
+        self.valid_dataset = valid_dataset
+        self.collate = collate_fn or train_dataset.collate
+        self.on_validation_extras = on_validation_extras
+
+        self.mesh = make_mesh()
+        self.num_replicas = jax.process_count()
+        self.rank = jax.process_index()
+
+        repl = replicated_sharding(self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(self.mesh, P("dp"))
+        self.train_step = jax.jit(
+            train_step, in_shardings=(repl, data, repl), out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        self.val_losses_fn = jax.jit(val_losses_fn, in_shardings=(repl, data, repl),
+                                     out_shardings=repl)
+
+        work_dir = Path(cfg["work_dir"])
+        self.ckpt = CheckpointManager(
+            work_dir, category=category,
+            num_ckpt_keep=cfg.get("num_ckpt_keep", 5),
+            permanent_ckpt_start=cfg.get("permanent_ckpt_start", 0),
+            permanent_ckpt_interval=cfg.get("permanent_ckpt_interval", -1),
+        )
+        self.writer = None
+        if self.rank == 0:
+            from tensorboardX import SummaryWriter
+
+            (work_dir / "lightning_logs" / "lastest").mkdir(parents=True, exist_ok=True)
+            self.writer = SummaryWriter(str(work_dir / "lightning_logs" / "lastest"))
+        self.lr_schedule = build_lr_schedule(
+            cfg.get("optimizer_args", {}), cfg.get("lr_scheduler_args", {})
+        )
+
+        self.n_local = len(self.mesh.devices.flatten())
+        self.max_updates = cfg.get("max_updates", 160000)
+        self.log_interval = cfg.get("log_interval", 100)
+        self.val_check_interval = cfg.get("val_check_interval", 2000) * cfg.get(
+            "accumulate_grad_batches", 1
+        )
+        self.num_devices = len(jax.devices())
+
+    def _pad_indices(self, indices):
+        """The batch dim is sharded over the mesh, so it must be a multiple of
+        the local device count; pad by cycling samples (same spirit as the
+        reference sampler's duplicate-batch padding, training_utils.py:157-165)."""
+        n = self.n_local
+        if len(indices) % n == 0:
+            return indices
+        out = list(indices)
+        i = 0
+        while len(out) % n != 0:
+            out.append(indices[i % len(indices)])
+            i += 1
+        return out
+
+    # -- loops --------------------------------------------------------------
+
+    def _make_sampler(self, epoch: int) -> DistributedBatchSampler:
+        s = DistributedBatchSampler(
+            self.train_dataset,
+            max_batch_frames=self.cfg.get("max_batch_frames", 50000),
+            max_batch_size=self.cfg.get("max_batch_size", 64),
+            num_replicas=self.num_replicas,
+            rank=self.rank,
+            required_batch_count_multiple=self.cfg.get("accumulate_grad_batches", 1),
+            frame_count_grid=self.cfg.get("sampler_frame_count_grid", 6),
+            shuffle_sample=True,
+            seed=self.cfg.get("seed", 0),
+        )
+        s.set_epoch(epoch)
+        return s
+
+    def fit(self):
+        self.state, start_step = self.ckpt.restore_latest(self.state)
+        step = start_step
+        if step > 0:
+            print(f"| resumed from step {step}")
+        self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        key = jax.random.PRNGKey(self.cfg.get("seed", 0))
+        epoch = 0
+        t_log = time.time()
+        frames_since_log = 0
+        while step < self.max_updates:
+            sampler = self._make_sampler(epoch)
+            for batch_idx, indices in enumerate(sampler):
+                if step >= self.max_updates:
+                    break
+                batch_np = self.collate(self._pad_indices(indices))
+                if "mel2ph" in batch_np:
+                    frames_since_log += int(np.prod(batch_np["mel2ph"].shape))
+                batch = shard_batch(batch_np, self.mesh)
+                key, sub = jax.random.split(key)
+                self.state, metrics = self.train_step(self.state, batch, sub)
+                step += 1
+                if step % self.log_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    lr = float(self.lr_schedule(step))
+                    dt = time.time() - t_log
+                    t_log = time.time()
+                    sps = self.log_interval / max(dt, 1e-9)
+                    print(
+                        f"| step {step} | "
+                        + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                        + f" | lr={lr:.2e} | {sps:.2f} it/s"
+                    )
+                    if self.writer:
+                        for k, v in metrics.items():
+                            self.writer.add_scalar(f"training/{k}", v, step)
+                        self.writer.add_scalar("training/lr", lr, step)
+                if step % self.val_check_interval == 0:
+                    self.validate(step, key)
+                    if self.rank == 0:
+                        self.ckpt.save(
+                            jax.device_get(self.state), step,
+                            extra_meta={"epoch": epoch},
+                        )
+            epoch += 1
+        # final validation + checkpoint
+        self.validate(step, key)
+        if self.rank == 0:
+            self.ckpt.save(jax.device_get(self.state), step, extra_meta={"epoch": epoch})
+        print(f"| training finished at step {step}")
+
+    def validate(self, step: int, key: jax.Array):
+        val_sampler = DistributedBatchSampler(
+            self.valid_dataset,
+            max_batch_frames=self.cfg.get("max_val_batch_frames", 60000),
+            max_batch_size=self.cfg.get("max_val_batch_size", 1),
+            num_replicas=self.num_replicas, rank=self.rank,
+            shuffle_sample=False, sort_by_similar_size=False,
+        )
+        val_sampler.set_epoch(0)
+        totals: Dict[str, float] = {}
+        weights = 0.0
+        for indices in val_sampler:
+            batch_np = self.valid_dataset.collate(self._pad_indices(indices))
+            batch = shard_batch(batch_np, self.mesh)
+            key, sub = jax.random.split(key)
+            out = self.val_losses_fn(self.state.params, batch, sub)
+            bs = len(indices)
+            for k, v in out.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * bs
+            weights += bs
+        losses = {k: v / max(weights, 1e-9) for k, v in totals.items()}
+        total = sum(losses.values())
+        print(f"| validation @ step {step}: total={total:.4f} " +
+              " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
+        if self.writer:
+            self.writer.add_scalar("validation/total_loss", total, step)
+            for k, v in losses.items():
+                self.writer.add_scalar(f"validation/{k}", v, step)
+        if self.on_validation_extras is not None:
+            try:
+                self.on_validation_extras(self, step, key)
+            except Exception as e:  # extras (plots/audio) must not kill training
+                print(f"| WARN: validation extras failed: {e}")
+        return losses
