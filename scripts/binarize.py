@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""Thin wrapper: python scripts/binarize.py ... == python -m xiaoicesing_io_tpu.cli.main binarize ..."""
+import sys
+from xiaoicesing_io_tpu.cli.main import cli
+
+if __name__ == "__main__":
+    sys.argv.insert(1, "binarize")
+    cli()

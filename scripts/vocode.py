@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""Thin wrapper: python scripts/vocode.py ... == python -m xiaoicesing_io_tpu.cli.main vocode ..."""
+import sys
+from xiaoicesing_io_tpu.cli.main import cli
+
+if __name__ == "__main__":
+    sys.argv.insert(1, "vocode")
+    cli()

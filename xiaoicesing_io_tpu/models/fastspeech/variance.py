@@ -84,7 +84,8 @@ class FastSpeech2Variance(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         H = self.hidden_size
-        txt_embed = nn.Embed(self.vocab_size, H, embedding_init=normal_embed_init(H),
+        txt_embed = nn.Embed(self.vocab_size, H,
+                             embedding_init=normal_embed_init(H, zero_padding_row=True),
                              dtype=self.dtype, name="txt_embed")(txt_tokens)
         if self.predict_dur:
             # word mode (ref: variance_encoder.py:61-73)
@@ -170,7 +171,8 @@ class MelodyEncoder(nn.Module):
         extra = dur_embed
         if self.use_glide_embed:
             glide_embed = nn.Embed(
-                self.num_glide_types + 1, H, embedding_init=normal_embed_init(H),
+                self.num_glide_types + 1, H,
+                embedding_init=normal_embed_init(H, zero_padding_row=True),
                 dtype=self.dtype, name="note_glide_embed",
             )(glide)
             extra = extra + glide_embed * self.glide_embed_scale
