@@ -61,16 +61,27 @@ def mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
     return np.where(above, min_log_hz * np.exp(logstep * (m - min_log_mel)), f)
 
 
-def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float) -> np.ndarray:
+def hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float,
+                   htk: bool = False) -> np.ndarray:
     """Triangular mel filterbank, shape [n_mels, 1 + n_fft // 2].
 
-    Matches ``librosa.filters.mel(htk=False, norm='slaney')`` to float32
+    Matches ``librosa.filters.mel(htk=htk, norm='slaney')`` to float32
     precision.
     """
     n_freqs = 1 + n_fft // 2
     fftfreqs = np.linspace(0.0, sr / 2.0, n_freqs)
-    mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
-    hz_pts = mel_to_hz_slaney(mel_pts)
+    to_mel = hz_to_mel_htk if htk else hz_to_mel_slaney
+    to_hz = mel_to_hz_htk if htk else mel_to_hz_slaney
+    mel_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    hz_pts = to_hz(mel_pts)
     fdiff = np.diff(hz_pts)
     ramps = hz_pts[:, None] - fftfreqs[None, :]
     lower = -ramps[:-2] / fdiff[:-1, None]
@@ -147,12 +158,19 @@ class MelConfig:
 
 
 class MelSpectrogram:
-    """Mel extractor with matching numpy (offline) and JAX (on-device) paths."""
+    """Mel extractor with matching numpy (offline) and JAX (on-device) paths.
 
-    def __init__(self, cfg: MelConfig):
+    ``center=False`` uses the reference acoustic convention (manual
+    (win-hop)//2 reflect padding); ``center=True`` matches
+    ``torch.stft(center=True)`` (n_fft//2 reflect padding), as used by the
+    RMVPE 16 kHz HTK mel (ref: modules/pe/rmvpe/spec.py).
+    """
+
+    def __init__(self, cfg: MelConfig, htk: bool = False, center: bool = False):
         self.cfg = cfg
+        self.center = center
         self.mel_basis = mel_filterbank(
-            cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
+            cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax, htk=htk
         )  # [M, F]
 
     # -- numpy path (any shapes; used by binarizers) ------------------------
@@ -163,8 +181,11 @@ class MelSpectrogram:
         y = np.atleast_2d(np.asarray(y, dtype=np.float32))
         c = self.cfg
         n_fft_new, win_new, hop_new = _stft_sizes(c.n_fft, c.win_size, c.hop_size, keyshift, speed)
-        pad_l = (win_new - hop_new) // 2
-        pad_r = (win_new - hop_new + 1) // 2
+        if self.center:
+            pad_l = pad_r = n_fft_new // 2
+        else:
+            pad_l = (win_new - hop_new) // 2
+            pad_r = (win_new - hop_new + 1) // 2
         ypad = reflect_pad(y, pad_l, pad_r)
         window = _padded_window(win_new, n_fft_new)
         n_frames = 1 + (ypad.shape[-1] - n_fft_new) // hop_new

@@ -354,3 +354,76 @@ def load_torch_file(path):
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# RMVPE pitch extractor (ref: modules/pe/rmvpe/{model,deepunet,seq}.py)
+# ---------------------------------------------------------------------------
+
+def conv2d(sd, name):
+    w = _np(sd[f"{name}.weight"])  # [out, in, kh, kw]
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def batch_norm2d(sd, name):
+    return {
+        "scale": _np(sd[f"{name}.weight"]),
+        "bias": _np(sd[f"{name}.bias"]),
+        "mean": _np(sd[f"{name}.running_mean"]),
+        "var": _np(sd[f"{name}.running_var"]),
+    }
+
+
+def _conv_block_res(sd, prefix):
+    out = {
+        "conv1": {"kernel": _np(sd[f"{prefix}.conv.0.weight"]).transpose(2, 3, 1, 0)},
+        "bn1": batch_norm2d(sd, f"{prefix}.conv.1"),
+        "conv2": {"kernel": _np(sd[f"{prefix}.conv.3.weight"]).transpose(2, 3, 1, 0)},
+        "bn2": batch_norm2d(sd, f"{prefix}.conv.4"),
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        out["shortcut"] = conv2d(sd, f"{prefix}.shortcut")
+    return out
+
+
+def convert_rmvpe(state_dict, en_de_layers: int = 5, inter_layers: int = 4,
+                  n_blocks: int = 4) -> Dict:
+    sd = dict(state_dict)
+    params: Dict = {"in_bn": batch_norm2d(sd, "unet.encoder.bn")}
+    for i in range(en_de_layers):
+        params[f"enc_{i}"] = {
+            f"conv_{j}": _conv_block_res(sd, f"unet.encoder.layers.{i}.conv.{j}")
+            for j in range(n_blocks)
+        }
+    for i in range(inter_layers):
+        params[f"inter_{i}"] = {
+            f"conv_{j}": _conv_block_res(sd, f"unet.intermediate.layers.{i}.conv.{j}")
+            for j in range(n_blocks)
+        }
+    for i in range(en_de_layers):
+        dp = f"unet.decoder.layers.{i}"
+        w = _np(sd[f"{dp}.conv1.0.weight"])  # ConvTranspose2d [in, out, kh, kw]
+        layer = {
+            "tconv_kernel": np.ascontiguousarray(
+                w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+            ),
+            "tbn": batch_norm2d(sd, f"{dp}.conv1.1"),
+        }
+        for j in range(n_blocks):
+            layer[f"conv_{j}"] = _conv_block_res(sd, f"{dp}.conv2.{j}")
+        params[f"dec_{i}"] = layer
+    params["cnn"] = conv2d(sd, "cnn")
+    gru = {}
+    for direction, tname in (("fwd", ""), ("bwd", "_reverse")):
+        gru[direction] = {
+            "w_ih": _np(sd[f"fc.0.gru.weight_ih_l0{tname}"]).T,
+            "w_hh": _np(sd[f"fc.0.gru.weight_hh_l0{tname}"]).T,
+            "b_ih": _np(sd[f"fc.0.gru.bias_ih_l0{tname}"]),
+            "b_hh": _np(sd[f"fc.0.gru.bias_hh_l0{tname}"]),
+        }
+    params["gru"] = gru
+    params["fc"] = linear(sd, "fc.1")
+    return {"params": params}
