@@ -1,0 +1,46 @@
+"""CascadedNet (vocal remover) parity vs the reference torch implementation."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
+
+if REFERENCE.exists():
+    sys.path.insert(0, str(REFERENCE))
+    from test_reference_parity import _install_lightning_stub
+
+    _install_lightning_stub()
+
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+
+from xiaoicesing_io_tpu.models.hnsep_vr import CascadedNet  # noqa: E402
+from xiaoicesing_io_tpu.utils.torch_ckpt import convert_cascaded_net  # noqa: E402
+
+
+def test_cascaded_net_parity(rng):
+    from modules.hnsep.vr.nets import CascadedNet as TorchNet
+
+    n_fft = 256  # small for speed; structure identical
+    torch.manual_seed(0)
+    tmodel = TorchNet(n_fft, 64, nout=16, nout_lstm=32, is_complex=True,
+                      is_mono=True).eval()
+
+    F_bins, T = n_fft // 2 + 1, 160  # T must exceed 2*offset... forward only
+    re = rng.standard_normal((1, 1, F_bins, T)).astype(np.float32)
+    im = rng.standard_normal((1, 1, F_bins, T)).astype(np.float32)
+    spec_t = torch.complex(torch.from_numpy(re), torch.from_numpy(im))
+    with torch.no_grad():
+        mask_t = tmodel(spec_t)
+    ref = np.concatenate([mask_t.real.numpy(), mask_t.imag.numpy()], axis=1)
+
+    model = CascadedNet(n_fft=n_fft, nout=16, nout_lstm=32, is_mono=True)
+    params = convert_cascaded_net(tmodel.state_dict())
+    ri = np.concatenate([re, im], axis=1)
+    ours = np.asarray(model.apply(params, jnp.asarray(ri)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-3)

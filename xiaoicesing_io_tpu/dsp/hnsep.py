@@ -68,10 +68,13 @@ class DecomposedWaveform:
     fft_size/win_size`` properties.
     """
 
+    _VR_MODEL = None  # process-wide cache (ref: decomposed_waveform.py:233)
+
     def __init__(
         self, waveform, samplerate, f0, *,
         hop_size=None, fft_size=None, win_size=None,
         base_harmonic_radius: float = 3.5, algorithm: str = "comb",
+        model_path=None,
     ):
         self._waveform = np.asarray(waveform, np.float64)
         self._samplerate = samplerate
@@ -83,6 +86,17 @@ class DecomposedWaveform:
         self._harmonic_part: Optional[np.ndarray] = None
         self._aperiodic_part: Optional[np.ndarray] = None
         self._harmonics: Dict[int, np.ndarray] = {}
+        # 'world' (the reference's pyworld default) maps to the comb-mask
+        # decomposition here; 'vr' uses the neural CascadedNet separator.
+        self._algorithm = "comb" if algorithm in ("comb", "world") else algorithm
+        if self._algorithm == "vr":
+            if DecomposedWaveform._VR_MODEL is None:
+                from ..models.hnsep_vr import VocalRemover
+
+                DecomposedWaveform._VR_MODEL = VocalRemover(model_path)
+            self._vr = DecomposedWaveform._VR_MODEL
+        elif self._algorithm != "comb":
+            raise ValueError(f" [x] Unknown harmonic-noise separator: {algorithm}")
 
     samplerate = property(lambda self: self._samplerate)
     hop_size = property(lambda self: self._hop_size)
@@ -140,7 +154,12 @@ class DecomposedWaveform:
                 ).astype(np.float32)
             return self._harmonics[k]
         if self._harmonic_part is None:
-            self._harmonic_part = self._comb_mask_filter(1, None).astype(np.float32)
+            if self._algorithm == "vr":
+                self._harmonic_part = self._vr.predict_harmonic(
+                    self._waveform.astype(np.float32)
+                )
+            else:
+                self._harmonic_part = self._comb_mask_filter(1, None).astype(np.float32)
         return self._harmonic_part
 
     def aperiodic(self) -> np.ndarray:

@@ -17,7 +17,6 @@ import numpy as np
 
 from ..dsp.features import get_breathiness, get_energy, get_tension, get_voicing
 from ..dsp.hnsep import DecomposedWaveform
-from ..dsp.pitch import get_pitch
 from ..ops.mel import MelConfig, MelSpectrogram
 from ..utils.audio import load_wav
 from ..utils.curves import smooth_curve
@@ -92,7 +91,7 @@ class AcousticBinarizer(BaseBinarizer):
         }
         item["mel2ph"] = self._mel2ph(item["ph_dur"], length)
 
-        f0, uv = get_pitch(
+        f0, uv = self.pitch_extractor.get_pitch(
             waveform, cfg["audio_sample_rate"], length, hop_size=cfg["hop_size"],
             f0_min=cfg["f0_min"], f0_max=cfg["f0_max"], interp_uv=True,
         )
@@ -111,7 +110,8 @@ class AcousticBinarizer(BaseBinarizer):
             dw = DecomposedWaveform(
                 waveform, cfg["audio_sample_rate"], f0 * ~uv,
                 hop_size=cfg["hop_size"], fft_size=cfg["fft_size"],
-                win_size=cfg["win_size"],
+                win_size=cfg["win_size"], algorithm=cfg.get("hnsep", "world"),
+                model_path=cfg.get("hnsep_ckpt"),
             )
             if self.need_breathiness:
                 item["breathiness"] = smooth_curve(

@@ -57,6 +57,9 @@ class BaseBinarizer:
         )
         self.phone_encoder = TokenTextEncoder(self.dictionary.phoneme_list)
         self.timestep = cfg["hop_size"] / cfg["audio_sample_rate"]
+        from ..models.pe import initialize_pe
+
+        self.pitch_extractor = initialize_pe(cfg)
 
     # -- speaker map (ref: base_binarizer.py:74-93) -------------------------
 

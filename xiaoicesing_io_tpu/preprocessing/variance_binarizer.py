@@ -20,7 +20,6 @@ import numpy as np
 
 from ..dsp.features import get_breathiness, get_energy, get_tension, get_voicing
 from ..dsp.hnsep import DecomposedWaveform
-from ..dsp.pitch import get_pitch
 from ..utils.audio import load_wav
 from ..utils.curves import interp_f0, resample_align_curve, smooth_curve
 from ..utils.music import hz_to_midi, midi_to_note, note_to_midi
@@ -264,7 +263,7 @@ class VarianceBinarizer(BaseBinarizer):
                 uv = f0 == 0
                 f0, _ = interp_f0(f0, uv)
         if f0 is None:
-            f0, uv = get_pitch(
+            f0, uv = self.pitch_extractor.get_pitch(
                 waveform, cfg["audio_sample_rate"], length, hop_size=cfg["hop_size"],
                 f0_min=cfg["f0_min"], f0_max=cfg["f0_max"], interp_uv=True,
             )
@@ -335,7 +334,8 @@ class VarianceBinarizer(BaseBinarizer):
             DecomposedWaveform(
                 waveform, cfg["audio_sample_rate"], f0 * ~uv,
                 hop_size=cfg["hop_size"], fft_size=cfg["fft_size"],
-                win_size=cfg["win_size"],
+                win_size=cfg["win_size"], algorithm=cfg.get("hnsep", "world"),
+                model_path=cfg.get("hnsep_ckpt"),
             )
             if waveform is not None else None
         )

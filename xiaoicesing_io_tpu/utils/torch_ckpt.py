@@ -427,3 +427,91 @@ def convert_rmvpe(state_dict, en_de_layers: int = 5, inter_layers: int = 4,
     params["gru"] = gru
     params["fc"] = linear(sd, "fc.1")
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Vocal-remover CascadedNet (ref: modules/hnsep/vr/{nets,layers}.py)
+# ---------------------------------------------------------------------------
+
+def _conv_bn_activ(sd, prefix):
+    return {
+        "conv": {"kernel": _np(sd[f"{prefix}.conv.0.weight"]).transpose(2, 3, 1, 0)},
+        "bn": batch_norm2d(sd, f"{prefix}.conv.1"),
+    }
+
+
+def _vr_encoder(sd, prefix):
+    return {
+        "conv1": _conv_bn_activ(sd, f"{prefix}.conv1"),
+        "conv2": _conv_bn_activ(sd, f"{prefix}.conv2"),
+    }
+
+
+def _vr_decoder(sd, prefix):
+    return {"conv1": _conv_bn_activ(sd, f"{prefix}.conv1")}
+
+
+def _vr_aspp(sd, prefix):
+    return {
+        "conv1": _conv_bn_activ(sd, f"{prefix}.conv1.1"),
+        "conv2": _conv_bn_activ(sd, f"{prefix}.conv2"),
+        "conv3": _conv_bn_activ(sd, f"{prefix}.conv3"),
+        "conv4": _conv_bn_activ(sd, f"{prefix}.conv4"),
+        "conv5": _conv_bn_activ(sd, f"{prefix}.conv5"),
+        "bottleneck": _conv_bn_activ(sd, f"{prefix}.bottleneck"),
+    }
+
+
+def _lstm_dir(sd, prefix, suffix):
+    return {
+        "w_ih": _np(sd[f"{prefix}.lstm.weight_ih_l0{suffix}"]).T,
+        "w_hh": _np(sd[f"{prefix}.lstm.weight_hh_l0{suffix}"]).T,
+        "b_ih": _np(sd[f"{prefix}.lstm.bias_ih_l0{suffix}"]),
+        "b_hh": _np(sd[f"{prefix}.lstm.bias_hh_l0{suffix}"]),
+    }
+
+
+def _vr_lstm_module(sd, prefix):
+    return {
+        "conv": _conv_bn_activ(sd, f"{prefix}.conv"),
+        "fwd": _lstm_dir(sd, prefix, ""),
+        "bwd": _lstm_dir(sd, prefix, "_reverse"),
+        "dense": linear(sd, f"{prefix}.dense.0"),
+        "dense_bn": {
+            "scale": _np(sd[f"{prefix}.dense.1.weight"]),
+            "bias": _np(sd[f"{prefix}.dense.1.bias"]),
+            "mean": _np(sd[f"{prefix}.dense.1.running_mean"]),
+            "var": _np(sd[f"{prefix}.dense.1.running_var"]),
+        },
+    }
+
+
+def _vr_basenet(sd, prefix):
+    return {
+        "enc1": _conv_bn_activ(sd, f"{prefix}.enc1"),
+        "enc2": _vr_encoder(sd, f"{prefix}.enc2"),
+        "enc3": _vr_encoder(sd, f"{prefix}.enc3"),
+        "enc4": _vr_encoder(sd, f"{prefix}.enc4"),
+        "enc5": _vr_encoder(sd, f"{prefix}.enc5"),
+        "aspp": _vr_aspp(sd, f"{prefix}.aspp"),
+        "dec4": _vr_decoder(sd, f"{prefix}.dec4"),
+        "dec3": _vr_decoder(sd, f"{prefix}.dec3"),
+        "dec2": _vr_decoder(sd, f"{prefix}.dec2"),
+        "lstm_dec2": _vr_lstm_module(sd, f"{prefix}.lstm_dec2"),
+        "dec1": _vr_decoder(sd, f"{prefix}.dec1"),
+    }
+
+
+def convert_cascaded_net(state_dict) -> Dict:
+    sd = dict(state_dict)
+    params = {
+        "stg1_low": _vr_basenet(sd, "stg1_low_band_net.0"),
+        "stg1_low_out": _conv_bn_activ(sd, "stg1_low_band_net.1"),
+        "stg1_high": _vr_basenet(sd, "stg1_high_band_net"),
+        "stg2_low": _vr_basenet(sd, "stg2_low_band_net.0"),
+        "stg2_low_out": _conv_bn_activ(sd, "stg2_low_band_net.1"),
+        "stg2_high": _vr_basenet(sd, "stg2_high_band_net"),
+        "stg3_full": _vr_basenet(sd, "stg3_full_band_net"),
+        "out": {"kernel": _np(sd["out.weight"]).transpose(2, 3, 1, 0)},
+    }
+    return {"params": params}
