@@ -47,6 +47,11 @@ def istft_centered(
     """torch.istft equivalent: windowed overlap-add with squared-window
     normalization, cropping the center padding."""
     frames = np.fft.irfft(spec, n_fft, axis=1) * window[None, :]
+    from .native import overlap_add_native
+
+    out = overlap_add_native(frames, window, hop, length)
+    if out is not None:
+        return out
     total = n_fft + hop * (len(spec) - 1)
     out = np.zeros(total)
     norm = np.zeros(total)

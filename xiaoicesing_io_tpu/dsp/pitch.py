@@ -94,55 +94,71 @@ def estimate_f0(
     cand_str[:, 0] = silence_R
 
     # voiced candidates: local maxima of r in [lag_min, lag_max]
-    seg = r[:, lag_min : lag_max + 1]
-    left = r[:, lag_min - 1 : lag_max]
-    right = r[:, lag_min + 1 : lag_max + 2]
-    is_peak = (seg > left) & (seg >= right)
-    for fi in range(F):
-        peaks = np.where(is_peak[fi])[0]
-        if len(peaks) == 0:
-            continue
-        vals = seg[fi][peaks]
-        order = np.argsort(vals)[::-1][: max_candidates - 1]
-        for ci, pi in enumerate(order):
-            tau = lag_min + peaks[pi]
-            # parabolic interpolation around the peak
-            y0, y1, y2 = r[fi, tau - 1], r[fi, tau], r[fi, tau + 1]
-            denom = y0 - 2 * y1 + y2
-            delta = 0.5 * (y0 - y2) / denom if abs(denom) > 1e-12 else 0.0
-            delta = np.clip(delta, -0.5, 0.5)
-            lag = tau + delta
-            freq = samplerate / lag
-            if freq < f0_min or freq > f0_max:
+    from .native import pitch_candidates_native, pitch_viterbi_native
+
+    native = pitch_candidates_native(
+        r, lag_min, lag_max, max_candidates, octave_cost, f0_min, f0_max, samplerate
+    )
+    if native is not None:
+        nf, ns = native
+        cand_freq[:, 1:] = nf[:, 1:]
+        cand_str[:, 1:] = ns[:, 1:]
+    else:
+        seg = r[:, lag_min : lag_max + 1]
+        left = r[:, lag_min - 1 : lag_max]
+        right = r[:, lag_min + 1 : lag_max + 2]
+        is_peak = (seg > left) & (seg >= right)
+        for fi in range(F):
+            peaks = np.where(is_peak[fi])[0]
+            if len(peaks) == 0:
                 continue
-            strength = min(y1 + 0.5 * abs(denom) * delta ** 2, 1.0)
-            cand_freq[fi, ci + 1] = freq
-            cand_str[fi, ci + 1] = strength - octave_cost * np.log2(f0_min / freq)
+            vals = seg[fi][peaks]
+            order = np.argsort(vals)[::-1][: max_candidates - 1]
+            for ci, pi in enumerate(order):
+                tau = lag_min + peaks[pi]
+                # parabolic interpolation around the peak
+                y0, y1, y2 = r[fi, tau - 1], r[fi, tau], r[fi, tau + 1]
+                denom = y0 - 2 * y1 + y2
+                delta = 0.5 * (y0 - y2) / denom if abs(denom) > 1e-12 else 0.0
+                delta = np.clip(delta, -0.5, 0.5)
+                lag = tau + delta
+                freq = samplerate / lag
+                if freq < f0_min or freq > f0_max:
+                    continue
+                strength = min(y1 + 0.5 * abs(denom) * delta ** 2, 1.0)
+                cand_freq[fi, ci + 1] = freq
+                cand_str[fi, ci + 1] = strength - octave_cost * np.log2(f0_min / freq)
 
     # Viterbi
-    prev_cost = -cand_str[0]
-    prev_ptr = np.zeros((F, max_candidates), np.int32)
-    for fi in range(1, F):
-        fprev = cand_freq[fi - 1]
-        fcur = cand_freq[fi]
-        uv_prev = fprev == 0
-        uv_cur = fcur == 0
-        trans = np.zeros((max_candidates, max_candidates))
-        both_voiced = (~uv_prev[:, None]) & (~uv_cur[None, :])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jump = np.abs(np.log2(
-                np.where(both_voiced, fprev[:, None] / np.maximum(fcur[None, :], 1e-12), 1.0)
-            ))
-        trans += np.where(both_voiced, octave_jump_cost * jump, 0.0)
-        trans += np.where(uv_prev[:, None] != uv_cur[None, :], voiced_unvoiced_cost, 0.0)
-        total = prev_cost[:, None] + trans - cand_str[fi][None, :]
-        prev_ptr[fi] = np.argmin(total, axis=0)
-        prev_cost = total[prev_ptr[fi], np.arange(max_candidates)]
-
-    path = np.zeros(F, np.int32)
-    path[-1] = int(np.argmin(prev_cost))
-    for fi in range(F - 1, 0, -1):
-        path[fi - 1] = prev_ptr[fi, path[fi]]
+    path = pitch_viterbi_native(
+        cand_freq, cand_str, octave_jump_cost, voiced_unvoiced_cost
+    )
+    if path is None:
+        prev_cost = -cand_str[0]
+        prev_ptr = np.zeros((F, max_candidates), np.int32)
+        for fi in range(1, F):
+            fprev = cand_freq[fi - 1]
+            fcur = cand_freq[fi]
+            uv_prev = fprev == 0
+            uv_cur = fcur == 0
+            trans = np.zeros((max_candidates, max_candidates))
+            both_voiced = (~uv_prev[:, None]) & (~uv_cur[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jump = np.abs(np.log2(np.where(
+                    both_voiced,
+                    fprev[:, None] / np.maximum(fcur[None, :], 1e-12), 1.0,
+                )))
+            trans += np.where(both_voiced, octave_jump_cost * jump, 0.0)
+            trans += np.where(
+                uv_prev[:, None] != uv_cur[None, :], voiced_unvoiced_cost, 0.0
+            )
+            total = prev_cost[:, None] + trans - cand_str[fi][None, :]
+            prev_ptr[fi] = np.argmin(total, axis=0)
+            prev_cost = total[prev_ptr[fi], np.arange(max_candidates)]
+        path = np.zeros(F, np.int32)
+        path[-1] = int(np.argmin(prev_cost))
+        for fi in range(F - 1, 0, -1):
+            path[fi - 1] = prev_ptr[fi, path[fi]]
     f0 = cand_freq[np.arange(F), path].astype(np.float32)
     uv = f0 == 0
     return f0, uv
