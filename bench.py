@@ -16,6 +16,13 @@ import time
 from pathlib import Path
 
 import jax
+
+# persistent compile cache: the axon remote-compile service is slow and
+# variable; caching makes repeated bench runs start in seconds
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -142,6 +142,46 @@ def test_acoustic_fs2_encoder_parity(rng, ref_hparams):
     np.testing.assert_allclose(ours, ref, atol=ATOL)
 
 
+def test_acoustic_fs2_encoder_relpos_parity(rng, ref_hparams):
+    """Legacy positional scheme: rel_pos=True, use_rope=False."""
+    from utils.hparams import hparams
+
+    hparams.update(use_rope=False, rel_pos=True)
+    from modules.fastspeech.acoustic_encoder import FastSpeech2Acoustic as TorchFS2
+
+    torch.manual_seed(1)
+    vocab = 12
+    tmodel = TorchFS2(vocab_size=vocab).eval()
+    B, T_ph, T_f = 2, 6, 19
+    tokens = rng.integers(1, vocab, size=(B, T_ph))
+    mel2ph = _mel2ph(rng, B, T_ph, T_f)
+    f0 = rng.uniform(100, 400, size=(B, T_f)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(
+            torch.from_numpy(tokens), torch.from_numpy(mel2ph).long(),
+            torch.from_numpy(f0),
+        ).numpy()
+
+    from xiaoicesing_io_tpu.models.fastspeech.acoustic import FastSpeech2Acoustic
+
+    model = FastSpeech2Acoustic(
+        vocab_size=vocab, hidden_size=64, enc_layers=2, enc_ffn_kernel_size=3,
+        dropout=0.0, num_heads=2, use_pos_embed=True, use_rope=False, rel_pos=True,
+    )
+    sd = tmodel.state_dict()
+    params = {
+        "txt_embed": torch_ckpt.embedding(sd, "txt_embed"),
+        "dur_embed": torch_ckpt.linear(sd, "dur_embed"),
+        "pitch_embed": torch_ckpt.linear(sd, "pitch_embed"),
+        "encoder": torch_ckpt.convert_fs2_encoder(sd, "encoder", 2),
+    }
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(tokens), jnp.asarray(mel2ph), jnp.asarray(f0)
+    ))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+    hparams.update(use_rope=True)
+
+
 @pytest.mark.parametrize("backbone_type,args", [
     ("wavenet", {"num_layers": 3, "num_channels": 24, "dilation_cycle_length": 2}),
     ("lynxnet", {"num_layers": 2, "num_channels": 24, "kernel_size": 31,

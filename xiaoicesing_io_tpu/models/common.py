@@ -64,6 +64,30 @@ def sinusoidal_positions(positions: jnp.ndarray, dim: int) -> jnp.ndarray:
     return out
 
 
+def rel_positional_encoding(t: int, dim: int, max_len: int = 5000) -> jnp.ndarray:
+    """ESPnet RelPositionalEncoding table with reversed positions and
+    interleaved sin/cos (ref: espnet_positional_embedding.py:89-113;
+    the reference adds ``x * sqrt(d) + pe`` on top of the already-scaled
+    embedding).  NOTE the reference quirk: the table is built reversed over
+    ``max_len`` positions at init and sliced to the FIRST ``t`` rows, so the
+    actual position values are max_len-1 ... max_len-t (for t <= max_len).
+    -> [1, t, dim]
+    """
+    if t <= max_len:
+        position = jnp.arange(
+            max_len - 1, max_len - 1 - t, -1.0, dtype=jnp.float32
+        )[:, None]
+    else:
+        position = jnp.arange(t - 1, -1, -1.0, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
+    )
+    pe = jnp.stack(
+        [jnp.sin(position * div_term), jnp.cos(position * div_term)], axis=2
+    ).reshape(t, dim)
+    return pe[None]
+
+
 def make_positions(tokens: jnp.ndarray, padding_idx: int = 0) -> jnp.ndarray:
     """Position ids counting only non-padding tokens, offset by padding_idx+1
     (fairseq convention used by the reference's SinusoidalPositionalEmbedding)."""

@@ -28,6 +28,7 @@ class FastSpeech2Acoustic(nn.Module):
     num_heads: int = 2
     use_pos_embed: bool = True
     use_rope: bool = True
+    rel_pos: bool = True
     variance_embeds: Tuple[str, ...] = ()  # subset of (energy, breathiness, voicing, tension)
     use_key_shift_embed: bool = False
     use_speed_embed: bool = False
@@ -64,7 +65,7 @@ class FastSpeech2Acoustic(nn.Module):
             ffn_kernel_size=self.enc_ffn_kernel_size, ffn_act=self.ffn_act,
             dropout=self.dropout, num_heads=self.num_heads,
             use_pos_embed=self.use_pos_embed, use_rope=self.use_rope,
-            dtype=self.dtype, name="encoder",
+            rel_pos=self.rel_pos, dtype=self.dtype, name="encoder",
         )(txt_embed, dur_embed, txt_tokens == 0, deterministic=deterministic)
 
         condition = gather_frames(encoder_out, mel2ph)  # [B, T_frames, H]

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..common import (
     TransformerEncoderLayer,
     make_positions,
+    rel_positional_encoding,
     sinusoidal_positions,
 )
 
@@ -31,6 +32,7 @@ class FastSpeech2Encoder(nn.Module):
     num_heads: int = 2
     use_pos_embed: bool = True
     use_rope: bool = True
+    rel_pos: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,8 +53,17 @@ class FastSpeech2Encoder(nn.Module):
         if extra_embed is not None:
             x = x + extra_embed
         if self.use_pos_embed and not self.use_rope:
-            positions = make_positions(1 - padding_mask.astype(jnp.int32), padding_idx=0)
-            x = x + sinusoidal_positions(positions, self.hidden_size)
+            if self.rel_pos:
+                # ESPnet RelPositionalEncoding applies another sqrt(d) scale
+                # on top (ref: tts_modules.py:394-395 + espnet forward)
+                x = x * math.sqrt(self.hidden_size) + rel_positional_encoding(
+                    x.shape[1], self.hidden_size
+                )
+            else:
+                positions = make_positions(
+                    1 - padding_mask.astype(jnp.int32), padding_idx=0
+                )
+                x = x + sinusoidal_positions(positions, self.hidden_size)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
         nonpad = (1.0 - padding_mask.astype(jnp.float32))[..., None]

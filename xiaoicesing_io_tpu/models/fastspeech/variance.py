@@ -63,6 +63,7 @@ class FastSpeech2Variance(nn.Module):
     num_heads: int = 2
     use_pos_embed: bool = True
     use_rope: bool = True
+    rel_pos: bool = True
     predict_dur: bool = True
     dur_hidden_size: int = 512
     dur_num_layers: int = 5
@@ -116,7 +117,7 @@ class FastSpeech2Variance(nn.Module):
             ffn_kernel_size=self.enc_ffn_kernel_size, ffn_act=self.ffn_act,
             dropout=self.dropout, num_heads=self.num_heads,
             use_pos_embed=self.use_pos_embed, use_rope=self.use_rope,
-            dtype=self.dtype, name="encoder",
+            rel_pos=self.rel_pos, dtype=self.dtype, name="encoder",
         )(txt_embed, extra, txt_tokens == 0, deterministic=deterministic)
 
         if not self.predict_dur:
@@ -148,6 +149,7 @@ class MelodyEncoder(nn.Module):
     num_heads: int = 2
     use_pos_embed: bool = True
     use_rope: bool = True
+    rel_pos: bool = True
     use_glide_embed: bool = False
     num_glide_types: int = 2
     glide_embed_scale: float = 11.313708498984760
@@ -181,7 +183,7 @@ class MelodyEncoder(nn.Module):
             ffn_kernel_size=self.enc_ffn_kernel_size, ffn_act=self.ffn_act,
             dropout=self.dropout, num_heads=self.num_heads,
             use_pos_embed=self.use_pos_embed, use_rope=self.use_rope,
-            dtype=self.dtype, name="encoder",
+            rel_pos=self.rel_pos, dtype=self.dtype, name="encoder",
         )(midi_embed, extra, note_midi < 0, deterministic=deterministic)
         return nn.Dense(self.out_size, dtype=self.dtype,
                         kernel_init=nn.initializers.xavier_uniform(),

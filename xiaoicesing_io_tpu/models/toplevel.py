@@ -79,6 +79,7 @@ class AcousticModel(nn.Module):
             num_heads=cfg.get("num_heads", 2),
             use_pos_embed=cfg.get("use_pos_embed", True),
             use_rope=cfg.get("use_rope", False),
+            rel_pos=cfg.get("rel_pos", True),
             variance_embeds=variance_embeds,
             use_key_shift_embed=cfg.get("use_key_shift_embed", False),
             use_speed_embed=cfg.get("use_speed_embed", False),
@@ -291,6 +292,7 @@ class VarianceModel(nn.Module):
             num_heads=cfg.get("num_heads", 2),
             use_pos_embed=cfg.get("use_pos_embed", True),
             use_rope=cfg.get("use_rope", False),
+            rel_pos=cfg.get("rel_pos", True),
             predict_dur=cfg.get("predict_dur", True),
             dur_hidden_size=dur_args.get("hidden_size", 512),
             dur_num_layers=dur_args.get("num_layers", 5),
@@ -324,6 +326,7 @@ class VarianceModel(nn.Module):
                     num_heads=margs.get("num_heads", cfg.get("num_heads", 2)),
                     use_pos_embed=cfg.get("use_pos_embed", True),
                     use_rope=cfg.get("use_rope", False),
+                    rel_pos=cfg.get("rel_pos", True),
                     use_glide_embed=cfg.get("use_glide_embed", False),
                     num_glide_types=len(cfg.get("glide_types", ["up", "down"])),
                     glide_embed_scale=cfg.get("glide_embed_scale", 11.313708498984760),
