@@ -1,0 +1,41 @@
+"""Full LYNXNet pallas-apply vs the flax module (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xiaoicesing_io_tpu.models.backbones import build_backbone
+from xiaoicesing_io_tpu.models.backbones.lynx_pallas import lynx_denoiser_apply
+
+
+def test_lynx_pallas_apply_matches_flax(rng):
+    B, T, M, H = 2, 160, 16, 64
+    args = {"num_layers": 2, "num_channels": 128, "kernel_size": 31,
+            "strong_cond": True}
+    bb = build_backbone(M, 1, "lynxnet", args, cond_dims=H)
+    spec = jnp.asarray(rng.standard_normal((B, 1, T, M)).astype(np.float32))
+    step = jnp.asarray(np.array([3.0, 700.0], np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    params = bb.init(jax.random.PRNGKey(0), spec, step, cond)
+    ref = np.asarray(bb.apply(params, spec, step, cond))
+
+    out = np.asarray(lynx_denoiser_apply(
+        params, spec, step, cond,
+        num_layers=2, strong_cond=True, kernel_size=31, tile=128,
+        interpret=True, compute_dtype=jnp.float32,
+    ))
+    assert out.shape == ref.shape
+    # zero-init output projection makes outputs 0 at init; perturb instead
+    p = jax.tree.map(lambda x: x, params)
+    key = jax.random.PRNGKey(1)
+    p["params"]["output_projection"]["kernel"] = 0.02 * jax.random.normal(
+        key, p["params"]["output_projection"]["kernel"].shape
+    )
+    ref = np.asarray(bb.apply(p, spec, step, cond))
+    out = np.asarray(lynx_denoiser_apply(
+        p, spec, step, cond, num_layers=2, strong_cond=True,
+        kernel_size=31, tile=128, interpret=True, compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999

@@ -1,0 +1,39 @@
+"""Pallas LYNX conv-module kernel vs the flax reference implementation
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xiaoicesing_io_tpu.models.backbones.lynxnet import LYNXConvModule
+from xiaoicesing_io_tpu.ops.pallas.lynx_conv import lynx_conv_module
+
+
+@pytest.mark.parametrize("B,T,dim,inner_x,k", [
+    (1, 300, 128, 2, 31),
+    (2, 257, 128, 2, 31),
+    (1, 64, 128, 2, 7),
+])
+def test_lynx_conv_kernel_matches_flax(rng, B, T, dim, inner_x, k):
+    module = LYNXConvModule(dim=dim, expansion_factor=inner_x, kernel_size=k)
+    x = jnp.asarray(rng.standard_normal((B, T, dim)).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(module.apply(params, x))
+
+    p = params["params"]
+    out = lynx_conv_module(
+        x,
+        p["norm"]["scale"], p["norm"]["bias"],
+        p["pw_in"]["kernel"], p["pw_in"]["bias"],
+        p["dw_conv"]["kernel"], p["dw_conv"]["bias"],
+        p["act"]["alpha"],
+        p["pw_out"]["kernel"], p["pw_out"]["bias"],
+        kernel_size=k, tile=128, interpret=True,
+    )
+    out = np.asarray(out)
+    assert out.shape == ref.shape
+    # bf16 matmuls inside the kernel vs f32 flax reference
+    np.testing.assert_allclose(out, ref, atol=0.15, rtol=0.05)
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999

@@ -1,0 +1,83 @@
+"""Pallas-accelerated LYNXNet denoiser apply (inference path).
+
+Numerically equivalent to ``LYNXNet.__call__`` but driven directly off the
+parameter pytree with the fused Pallas conv-module kernel
+(``ops/pallas/lynx_conv.py``) replacing the LayerNorm -> pw_in -> SwiGLU ->
+depthwise conv -> PReLU -> pw_out chain.  Used by samplers/bench through the
+``denoise_fn`` closure; training keeps the flax path (autodiff).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..common import sinusoidal_step_embedding
+from ...ops.pallas.lynx_conv import lynx_conv_module
+
+
+def _dense(p, x):
+    return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def lynx_denoiser_apply(
+    params: dict,  # LYNXNet param collection (params["params"]... resolved)
+    spec: jnp.ndarray,  # [B, F, T, M]
+    diffusion_step: jnp.ndarray,  # [B]
+    cond: jnp.ndarray,  # [B, T, H]
+    *,
+    num_layers: int = 6,
+    strong_cond: bool = True,
+    kernel_size: int = 31,
+    tile: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    p = params["params"] if "params" in params else params
+    if "backbone" in p:
+        p = p["backbone"]
+    B, F, T, M = spec.shape
+    x = spec.transpose(0, 2, 1, 3).reshape(B, T, F * M).astype(compute_dtype)
+    cond = cond.astype(compute_dtype)
+    x = _dense(p["input_projection"], x)
+    if not strong_cond:
+        x = jax.nn.gelu(x, approximate=False)
+
+    step = sinusoidal_step_embedding(diffusion_step, x.shape[-1]).astype(compute_dtype)
+    step = _dense(p["diff_mlp_0"], step)
+    step = jax.nn.gelu(step, approximate=False)
+    step = _dense(p["diff_mlp_1"], step)
+
+    for i in range(num_layers):
+        lp = p[f"residual_layers_{i}"]
+        cond_proj = _dense(lp["conditioner_projection"], cond)
+        if strong_cond:
+            x = x + cond_proj
+            res = x
+            h = x
+        else:
+            res = x
+            h = x + cond_proj
+        h = h + _dense(lp["diffusion_projection"], step)[:, None, :]
+        cm = lp["convmodule"]
+        h = lynx_conv_module(
+            h.astype(jnp.float32),
+            cm["norm"]["scale"], cm["norm"]["bias"],
+            cm["pw_in"]["kernel"], cm["pw_in"]["bias"],
+            cm["dw_conv"]["kernel"], cm["dw_conv"]["bias"],
+            cm["act"]["alpha"],
+            cm["pw_out"]["kernel"], cm["pw_out"]["bias"],
+            kernel_size=kernel_size, tile=tile, interpret=interpret,
+        ).astype(compute_dtype)
+        x = h + res
+
+    # final LayerNorm (f32) + zero-init output projection
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn * p["norm"]["scale"] + p["norm"]["bias"]
+    out = xn.astype(compute_dtype) @ p["output_projection"]["kernel"].astype(
+        compute_dtype
+    ) + p["output_projection"]["bias"].astype(compute_dtype)
+    return out.reshape(B, T, F, M).transpose(0, 2, 1, 3)

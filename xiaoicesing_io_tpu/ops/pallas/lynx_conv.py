@@ -1,0 +1,185 @@
+"""Fused LYNXNet conv-module kernel.
+
+The LYNXNet residual layer's inner module is the per-step hot op of the
+flagship acoustic denoiser (6 layers x K sampler steps):
+
+    LayerNorm -> Dense(2*inner) -> SwiGLU -> depthwise conv(k=31, time)
+              -> PReLU -> Dense(dim)
+
+Unfused, the [rows, inner]=（B*T, 2048) activations round-trip HBM between
+the two matmuls because the depthwise conv breaks XLA's fusion chain.  This
+kernel keeps the whole module in VMEM per row-tile: both matmuls hit the MXU,
+the 31-tap depthwise conv is computed as shifted-slice FMAs on the VPU, and
+the only HBM traffic is x in / out plus the weights.
+
+Grid: one program per row tile (rows = flattened B*T with a halo of k-1
+rows for the conv).  Weights are resident in VMEM across the grid.  The
+gate/out halves of the first matmul are computed separately to halve the
+peak VMEM (W_in is [dim, 2*inner]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    x_ref,  # [1, TILE + K - 1, dim] input rows (with halo; pre-LN domain)
+    ln_scale_ref, ln_bias_ref,  # [1, dim]
+    w_out_ref,  # [dim, inner]   (first half of pw_in: the 'out' branch)
+    w_gate_ref,  # [dim, inner]  (second half: the 'gate' branch)
+    b_out_ref, b_gate_ref,  # [1, inner]
+    dw_ref,  # [K, inner] depthwise taps
+    dw_bias_ref,  # [1, inner]
+    alpha_ref,  # [1, inner] PReLU slope
+    w2_ref,  # [inner, dim]
+    b2_ref,  # [1, dim]
+    o_ref,  # [TILE, dim]
+    *,
+    k: int,
+    tile: int,
+    pad_l: int,
+    n_rows: int,
+):
+    x = x_ref[0].astype(jnp.float32)
+    # LayerNorm over channels
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn * ln_scale_ref[...] + ln_bias_ref[...]
+    xn = xn.astype(jnp.bfloat16)
+
+    out_b = jnp.dot(xn, w_out_ref[...], preferred_element_type=jnp.float32)
+    gate_b = jnp.dot(xn, w_gate_ref[...], preferred_element_type=jnp.float32)
+    g = gate_b + b_gate_ref[...]
+    inner = (out_b + b_out_ref[...]) * (g * jax.nn.sigmoid(g))  # SwiGLU
+
+    # zero the conv's padding rows: the torch 'same' zero padding applies to
+    # the INNER activations (post pw_in), while our halo rows are zero x rows
+    # whose LN/matmul output is nonzero — mask them out.
+    row0 = pl.program_id(0) * tile
+    gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, inner.shape, 0)
+    valid = (gidx >= pad_l) & (gidx < pad_l + n_rows)
+    inner = jnp.where(valid, inner, 0.0)
+
+    # depthwise conv over the row (time) axis: valid over the halo
+    acc = jnp.zeros((tile, inner.shape[1]), jnp.float32)
+    for tap in range(k):
+        acc = acc + inner[tap : tap + tile, :] * dw_ref[tap, :][None, :]
+    acc = acc + dw_bias_ref[...]
+
+    # PReLU
+    alpha = alpha_ref[...]
+    acc = jnp.where(acc >= 0, acc, alpha * acc)
+
+    out = jnp.dot(acc.astype(jnp.bfloat16), w2_ref[...],
+                  preferred_element_type=jnp.float32)
+    o_ref[...] = (out + b2_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "tile", "interpret")
+)
+def lynx_conv_module(
+    x: jnp.ndarray,  # [B, T, dim]
+    ln_scale, ln_bias,  # [dim]
+    w_in,  # [dim, 2*inner] (pw_in kernel; columns = [out | gate])
+    b_in,  # [2*inner]
+    dw_kernel,  # [k, 1, inner] flax depthwise layout
+    dw_bias,  # [inner]
+    alpha,  # [inner]
+    w2,  # [inner, dim]
+    b2,  # [dim]
+    kernel_size: int = 31,
+    tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns the conv-module output [B, T, dim] (residual NOT added)."""
+    B, T, dim = x.shape
+    inner = w2.shape[0]
+    k = kernel_size
+    pad_l = k // 2
+    pad_r = pad_l - (k + 1) % 2  # torch same-padding for even/odd k
+
+    rows = B * T
+    xf = x.reshape(rows, dim)
+    # halo padding: zeros, matching the torch conv zero padding; note row
+    # tiles cross batch boundaries only when B > 1 — we pad per batch to
+    # keep the conv within each sequence.
+    if B == 1:
+        xp = jnp.pad(xf, ((pad_l, pad_r), (0, 0)))
+        padded_rows = rows + pad_l + pad_r
+    else:
+        xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0))).reshape(
+            B * (T + pad_l + pad_r), dim
+        )
+        padded_rows = None  # handled per batch below
+
+    if B > 1:
+        # vmap the single-batch kernel over B
+        fn = lambda xb: lynx_conv_module(
+            xb[None], ln_scale, ln_bias, w_in, b_in, dw_kernel, dw_bias,
+            alpha, w2, b2, kernel_size=kernel_size, tile=tile,
+            interpret=interpret,
+        )[0]
+        return jax.vmap(fn)(x)
+
+    n_tiles = (rows + tile - 1) // tile
+    total = n_tiles * tile
+    xp = jnp.pad(xp, ((0, total + k - 1 - xp.shape[0]), (0, 0)))
+    # overlapping row windows per tile: [n_tiles, tile + k - 1, dim]
+    # (BlockSpec indexing is block-granular, so halos are materialized here;
+    # ~12% duplicated input traffic at tile=256, k=31)
+    win_idx = (
+        jnp.arange(n_tiles)[:, None] * tile + jnp.arange(tile + k - 1)[None, :]
+    )
+    x_windows = xp[win_idx]  # [n_tiles, tile+k-1, dim]
+
+    dw = dw_kernel.reshape(k, inner)
+    w_out_half, w_gate_half = w_in[:, :inner], w_in[:, inner:]
+    b_out_half, b_gate_half = b_in[:inner], b_in[inner:]
+
+    grid = (n_tiles,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k, tile=tile, pad_l=pad_l, n_rows=rows),
+        out_shape=jax.ShapeDtypeStruct((total, dim), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile + k - 1, dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inner, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        x_windows,
+        ln_scale.reshape(1, dim).astype(jnp.float32),
+        ln_bias.reshape(1, dim).astype(jnp.float32),
+        w_out_half.astype(jnp.bfloat16), w_gate_half.astype(jnp.bfloat16),
+        b_out_half.reshape(1, inner).astype(jnp.float32),
+        b_gate_half.reshape(1, inner).astype(jnp.float32),
+        dw.astype(jnp.float32),
+        dw_bias.reshape(1, inner).astype(jnp.float32),
+        alpha.reshape(1, inner).astype(jnp.float32),
+        w2.astype(jnp.bfloat16),
+        b2.reshape(1, dim).astype(jnp.float32),
+    )
+    return out[:rows].reshape(B, T, dim)
