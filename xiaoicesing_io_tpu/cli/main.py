@@ -44,7 +44,18 @@ def cli():
 @click.option("--work_dir", required=False, default="checkpoints", help="Work directory root")
 @click.option("--hparams", "hparams_str", required=False, default="", help="k=v overrides")
 @click.option("--reset", is_flag=True, help="Ignore the saved work-dir config")
-def train(config, exp_name, work_dir, hparams_str, reset):
+@click.option("--coordinator", required=False,
+              help="Multi-host: coordinator address host:port")
+@click.option("--num_processes", type=int, required=False,
+              help="Multi-host: total process count")
+@click.option("--process_id", type=int, required=False,
+              help="Multi-host: this process's index")
+def train(config, exp_name, work_dir, hparams_str, reset,
+          coordinator, num_processes, process_id):
+    if num_processes and num_processes > 1:
+        from ..parallel.mesh import init_distributed
+
+        init_distributed(coordinator, num_processes, process_id)
     cfg = load_config(
         config, exp_name=exp_name, work_dir_root=work_dir,
         overrides=hparams_str, reset=reset, save=True,
@@ -53,6 +64,17 @@ def train(config, exp_name, work_dir, hparams_str, reset):
 
     trainer = build_trainer_from_config(cfg)
     trainer.fit()
+
+
+@cli.command(help="Vocoder copy-synthesis evaluation on wav files")
+@click.argument("wavs", nargs=-1, required=True)
+@click.option("--config", required=True)
+@click.option("--out", default="copysyn_out")
+def val_vocoder(wavs, config, out):
+    cfg = load_config(config, infer=True)
+    from ..inference.val_vocoder import copy_synthesis
+
+    copy_synthesis(list(wavs), cfg, out)
 
 
 @cli.command(help="Binarize a raw dataset")
