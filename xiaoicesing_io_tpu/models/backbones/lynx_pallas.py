@@ -75,7 +75,7 @@ def lynx_denoiser_apply(
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
     xn = xn * p["norm"]["scale"] + p["norm"]["bias"]
     out = xn.astype(compute_dtype) @ p["output_projection"]["kernel"].astype(
         compute_dtype

@@ -40,7 +40,7 @@ class LYNXConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         inner = self.dim * self.expansion_factor
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         h = nn.Dense(inner * 2, dtype=self.dtype, name="pw_in")(h)
         out, gate = jnp.split(h, 2, axis=-1)
         h = out * jax.nn.silu(gate)  # SwiGLU
@@ -135,7 +135,7 @@ class LYNXNet(nn.Module):
                 name=f"residual_layers_{i}",
             )(x, cond, step, deterministic=deterministic)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(F * M, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                      name="output_projection")(x)
         return x.reshape(B, T, F, M).transpose(0, 2, 1, 3)

@@ -205,7 +205,7 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x, padding_mask, deterministic=True):
         nonpad = (1.0 - padding_mask.astype(jnp.float32))[..., None]
         residual = x
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         h = SelfAttention(
             self.hidden_size, self.num_heads, use_rope=self.use_rope, dtype=self.dtype,
             name="self_attn",
@@ -214,7 +214,7 @@ class TransformerEncoderLayer(nn.Module):
         x = (residual + h) * nonpad
 
         residual = x
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         h = ConvFFN(
             self.hidden_size, 4 * self.hidden_size, kernel_size=self.ffn_kernel_size,
             act=self.ffn_act, dropout=self.dropout, dtype=self.dtype, name="ffn",

@@ -80,5 +80,5 @@ class FastSpeech2Encoder(nn.Module):
                 name=f"layers_{i}",
             )(x, padding_mask, deterministic=deterministic)
             x = x * nonpad
-        x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x) * nonpad
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x) * nonpad
         return x

@@ -52,7 +52,7 @@ def _kernel(
     # LayerNorm over channels
     mean = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
-    xn = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
     xn = xn * ln_scale_ref[...] + ln_bias_ref[...]
     xn = xn.astype(jnp.bfloat16)
 
