@@ -145,15 +145,9 @@ def acoustic(proj, exp, ckpt, spk, out, title, num, key, seed, depth, steps, mel
     if key != 0:
         params = _trans_key(params, key)
     cfg = load_config(None, exp_name=exp, infer=True)
-    if depth is not None:
-        if cfg.get("diffusion_type") == "reflow":
-            cfg["T_start_infer"] = 1 - depth
-        else:
-            cfg["K_step_infer"] = round(depth * cfg.get("timesteps", 1000))
-    if steps is not None:
-        cfg["sampling_steps"] = steps
-        if cfg.get("K_step_infer"):
-            cfg["diff_speedup"] = max(1, cfg["K_step_infer"] // steps)
+    from ..compat import migrate_sampling_keys
+
+    migrate_sampling_keys(cfg, depth=depth, steps=steps)
     if spk:
         from ..utils.spk_mix import parse_commandline_spk_mix
 

@@ -88,10 +88,13 @@ class AcousticModel(nn.Module):
             dtype=dtype,
             name="fs2",
         )
+        from ..compat import get_backbone_args, get_backbone_type
+
+        backbone_type = get_backbone_type(cfg)
         backbone = build_backbone(
             out_dims=cfg["audio_num_mel_bins"], num_feats=1,
-            backbone_type=cfg.get("backbone_type", "wavenet"),
-            backbone_args=cfg.get("backbone_args", {}),
+            backbone_type=backbone_type,
+            backbone_args=get_backbone_args(cfg, backbone_type) or {},
             cond_dims=cfg.get("hidden_size", 256), dtype=dtype,
         )
         aux = None
@@ -305,11 +308,14 @@ class VarianceModel(nn.Module):
         pitch_backbone = None
         melody_encoder = None
         if predict_pitch:
+            from ..compat import get_backbone_args, get_backbone_type
+
             pargs = cfg.get("pitch_prediction_args", {})
+            pbt = get_backbone_type(cfg, pargs)
             pitch_backbone = build_backbone(
                 out_dims=pargs.get("repeat_bins", 64), num_feats=1,
-                backbone_type=pargs.get("backbone_type", "wavenet"),
-                backbone_args=pargs.get("backbone_args", {}),
+                backbone_type=pbt,
+                backbone_args=get_backbone_args(pargs, pbt) or {},
                 cond_dims=hidden, dtype=dtype,
             )
             if cfg.get("use_melody_encoder", False):
@@ -337,14 +343,17 @@ class VarianceModel(nn.Module):
         )
         variance_backbone = None
         if prediction_list:
+            from ..compat import get_backbone_args, get_backbone_type
+
             vargs = cfg.get("variances_prediction_args", {})
             total_bins = vargs.get("total_repeat_bins", 48)
             assert total_bins % len(prediction_list) == 0
+            vbt = get_backbone_type(cfg, vargs)
             variance_backbone = build_backbone(
                 out_dims=total_bins // len(prediction_list),
                 num_feats=len(prediction_list),
-                backbone_type=vargs.get("backbone_type", "wavenet"),
-                backbone_args=vargs.get("backbone_args", {}),
+                backbone_type=vbt,
+                backbone_args=get_backbone_args(vargs, vbt) or {},
                 cond_dims=hidden, dtype=dtype,
             )
         return VarianceModel(

@@ -74,12 +74,45 @@ class NsfHifiGAN:
 
 @register_vocoder
 class DDSP:
-    """Placeholder for the pc-ddsp vocoder (TorchScript in the reference:
-    modules/vocoders/ddsp.py).  Loading TorchScript requires torch at
-    runtime; synthesis runs on CPU via torch if available."""
+    """pc-ddsp vocoder (TorchScript; ref: modules/vocoders/ddsp.py).
+
+    The reference ships this as an opaque TorchScript archive — there is no
+    source to port, so synthesis runs the jitted module on CPU torch (a
+    frozen third-party tool, exactly as the reference treats it).
+    """
 
     def __init__(self, cfg, model_path=None):
-        raise NotImplementedError(
-            "DDSP vocoder support requires a TorchScript checkpoint; "
-            "use NsfHifiGAN or file an issue."
-        )
+        import torch
+        import yaml
+
+        self.cfg = cfg
+        model_path = Path(model_path or cfg["vocoder_ckpt"])
+        if not model_path.exists():
+            raise FileNotFoundError(f"DDSP model is not found at '{model_path}'")
+        with open(model_path.with_name("config.yaml")) as f:
+            self.args = yaml.safe_load(f)
+        for ck, vk in [("audio_sample_rate", "sampling_rate"),
+                       ("audio_num_mel_bins", "n_mels"), ("hop_size", "block_size")]:
+            data = self.args.get("data", self.args)
+            if ck in cfg and vk in data and cfg[ck] != data[vk]:
+                print(f"Mismatch parameters: cfg['{ck}']={cfg[ck]} != "
+                      f"{data[vk]} (vocoder)")
+        self.model = torch.jit.load(str(model_path), map_location="cpu")
+        self.model.eval()
+
+    def spec2wav(self, mel: np.ndarray, f0: np.ndarray) -> np.ndarray:
+        import torch
+
+        mel = np.asarray(mel, np.float32)
+        f0 = np.asarray(f0, np.float32)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel, f0 = mel[None], f0[None]
+        mel_base = self.cfg.get("mel_base", 10)
+        mel_t = torch.from_numpy(mel)
+        if mel_base != "e":
+            mel_t = 2.30259 * mel_t
+        with torch.no_grad():
+            signal, _, (_, _) = self.model(mel_t, torch.from_numpy(f0)[..., None])
+        wav = signal.numpy()
+        return wav[0] if squeeze else wav

@@ -46,7 +46,9 @@ def _kernel(
     k: int,
     tile: int,
     pad_l: int,
-    n_rows: int,
+    seq_len: int,
+    period: int,
+    total_rows: int,
 ):
     x = x_ref[0].astype(jnp.float32)
     # LayerNorm over channels
@@ -63,10 +65,13 @@ def _kernel(
 
     # zero the conv's padding rows: the torch 'same' zero padding applies to
     # the INNER activations (post pw_in), while our halo rows are zero x rows
-    # whose LN/matmul output is nonzero — mask them out.
+    # whose LN/matmul output is nonzero — mask them out.  Sequences are laid
+    # out periodically with pad_l + pad_r = k - 1 padding rows between them
+    # (period = seq_len + k - 1), so windows never mix sequences.
     row0 = pl.program_id(0) * tile
     gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, inner.shape, 0)
-    valid = (gidx >= pad_l) & (gidx < pad_l + n_rows)
+    pos = jax.lax.rem(gidx, jnp.int32(period))
+    valid = (pos >= pad_l) & (pos < pad_l + seq_len) & (gidx < total_rows)
     inner = jnp.where(valid, inner, 0.0)
 
     # depthwise conv over the row (time) axis: valid over the halo
@@ -107,31 +112,16 @@ def lynx_conv_module(
     k = kernel_size
     pad_l = k // 2
     pad_r = pad_l - (k + 1) % 2  # torch same-padding for even/odd k
+    assert pad_l + pad_r == k - 1
 
-    rows = B * T
-    xf = x.reshape(rows, dim)
-    # halo padding: zeros, matching the torch conv zero padding; note row
-    # tiles cross batch boundaries only when B > 1 — we pad per batch to
-    # keep the conv within each sequence.
-    if B == 1:
-        xp = jnp.pad(xf, ((pad_l, pad_r), (0, 0)))
-        padded_rows = rows + pad_l + pad_r
-    else:
-        xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0))).reshape(
-            B * (T + pad_l + pad_r), dim
-        )
-        padded_rows = None  # handled per batch below
+    # flatten batches into one row axis with exactly k-1 zero rows between
+    # sequences (the conv's own padding), so one kernel call covers the whole
+    # batch with weights resident in VMEM and windows never mix sequences.
+    period = T + k - 1
+    xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0))).reshape(B * period, dim)
+    total_rows = B * period
 
-    if B > 1:
-        # vmap the single-batch kernel over B
-        fn = lambda xb: lynx_conv_module(
-            xb[None], ln_scale, ln_bias, w_in, b_in, dw_kernel, dw_bias,
-            alpha, w2, b2, kernel_size=kernel_size, tile=tile,
-            interpret=interpret,
-        )[0]
-        return jax.vmap(fn)(x)
-
-    n_tiles = (rows + tile - 1) // tile
+    n_tiles = (total_rows + tile - 1) // tile
     total = n_tiles * tile
     xp = jnp.pad(xp, ((0, total + k - 1 - xp.shape[0]), (0, 0)))
     # overlapping row windows per tile: [n_tiles, tile + k - 1, dim]
@@ -148,7 +138,10 @@ def lynx_conv_module(
 
     grid = (n_tiles,)
     out = pl.pallas_call(
-        functools.partial(_kernel, k=k, tile=tile, pad_l=pad_l, n_rows=rows),
+        functools.partial(
+            _kernel, k=k, tile=tile, pad_l=pad_l, seq_len=T, period=period,
+            total_rows=total_rows,
+        ),
         out_shape=jax.ShapeDtypeStruct((total, dim), x.dtype),
         grid=grid,
         in_specs=[
@@ -182,4 +175,4 @@ def lynx_conv_module(
         w2.astype(jnp.bfloat16),
         b2.reshape(1, dim).astype(jnp.float32),
     )
-    return out[:rows].reshape(B, T, dim)
+    return out[:total_rows].reshape(B, period, dim)[:, :T]

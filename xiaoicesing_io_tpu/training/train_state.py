@@ -56,7 +56,12 @@ def build_optimizer(cfg, schedule: Optional[Schedule] = None) -> optax.GradientT
             weight_decay=opt_args.get("weight_decay", 0.0),
         )
     )
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    accum = cfg.get("accumulate_grad_batches", 1)
+    if accum and accum > 1:
+        # gradient accumulation (ref: Lightning accumulate_grad_batches)
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 def make_schedule_fn(cfg) -> Schedule:
