@@ -26,10 +26,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 
-B = 4
+B = 8
 T_F = 2048  # frames per segment (~23.8 s audio at hop 512 / 44.1 kHz)
 K = 50  # denoiser steps
 VOCAB = 62
+USE_PALLAS = True
 
 
 def main():
@@ -63,10 +64,25 @@ def main():
         aux = model.apply(params, cond, method=AcousticModel.aux_out)
         aux = aux * (mel2ph > 0)[:, :, None]
 
-        def velocity_fn(x, t):
-            return model.apply(params, x, t, cond, method=AcousticModel.denoise).astype(
-                jnp.float32
+        if USE_PALLAS:
+            from xiaoicesing_io_tpu.models.backbones.lynx_pallas import (
+                lynx_denoiser_apply,
             )
+
+            bargs = cfg["backbone_args"]
+
+            def velocity_fn(x, t):
+                return lynx_denoiser_apply(
+                    params, x, t, cond,
+                    num_layers=bargs["num_layers"],
+                    strong_cond=bargs.get("strong_cond", False),
+                    kernel_size=bargs.get("kernel_size", 31),
+                ).astype(jnp.float32)
+        else:
+            def velocity_fn(x, t):
+                return model.apply(
+                    params, x, t, cond, method=AcousticModel.denoise
+                ).astype(jnp.float32)
 
         x = core.inference(
             velocity_fn, key, (B, 1, T_F, M),

@@ -178,10 +178,29 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
             else:
                 x_src = None
 
-            def denoise_fn(x, t):
-                return model.apply(
-                    params, x, t, cond, method=AcousticModel.denoise
-                ).astype(jnp.float32)
+            use_pallas = (
+                cfg.get("use_pallas_kernels", True)
+                and cfg.get("backbone_type") == "lynxnet"
+                and cfg.get("backbone_args", {}).get("activation", "PReLU") == "PReLU"
+                and jax.default_backend() != "cpu"  # pallas needs TPU (or interpret)
+            )
+            if use_pallas:
+                from ..models.backbones.lynx_pallas import lynx_denoiser_apply
+
+                bargs = cfg.get("backbone_args", {})
+
+                def denoise_fn(x, t):
+                    return lynx_denoiser_apply(
+                        params, x, t, cond,
+                        num_layers=bargs.get("num_layers", 6),
+                        strong_cond=bargs.get("strong_cond", False),
+                        kernel_size=bargs.get("kernel_size", 31),
+                    ).astype(jnp.float32)
+            else:
+                def denoise_fn(x, t):
+                    return model.apply(
+                        params, x, t, cond, method=AcousticModel.denoise
+                    ).astype(jnp.float32)
 
             if isinstance(core, GaussianDiffusion):
                 x = core.inference(
