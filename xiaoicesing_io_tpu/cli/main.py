@@ -35,7 +35,15 @@ def _find_exp(exp: str) -> str:
 
 @click.group()
 def cli():
-    pass
+    # honor JAX_PLATFORMS even under platform plugins that ignore the env var
+    # (e.g. tunneled TPU backends): the config path always works
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 @cli.command(help="Train a model (acoustic or variance)")

@@ -147,6 +147,7 @@ class Trainer:
         epoch = 0
         t_log = time.time()
         frames_since_log = 0
+        last_validated = -1
         while step < self.max_updates:
             sampler = self._make_sampler(epoch)
             for batch_idx, indices in enumerate(sampler):
@@ -176,16 +177,18 @@ class Trainer:
                         self.writer.add_scalar("training/lr", lr, step)
                 if step % self.val_check_interval == 0:
                     self.validate(step, key)
+                    last_validated = step
                     if self.rank == 0:
                         self.ckpt.save(
                             jax.device_get(self.state), step,
                             extra_meta={"epoch": epoch},
                         )
             epoch += 1
-        # final validation + checkpoint
-        self.validate(step, key)
-        if self.rank == 0:
-            self.ckpt.save(jax.device_get(self.state), step, extra_meta={"epoch": epoch})
+        # final validation + checkpoint (skip if the last step just validated)
+        if last_validated != step:
+            self.validate(step, key)
+            if self.rank == 0:
+                self.ckpt.save(jax.device_get(self.state), step, extra_meta={"epoch": epoch})
         print(f"| training finished at step {step}")
 
     def validate(self, step: int, key: jax.Array):
