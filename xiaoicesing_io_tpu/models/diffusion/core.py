@@ -114,6 +114,7 @@ class GaussianDiffusion:
         depth: Optional[int] = None,
         speedup: int = 1,
         algorithm: str = "ddim",
+        noise: Optional[jnp.ndarray] = None,  # parity testing: external noise
     ) -> jnp.ndarray:
         """Run the sampling loop; returns model-domain x [B, F, T, M].
 
@@ -123,7 +124,8 @@ class GaussianDiffusion:
         depth = self.k_step if depth is None else depth
         t_max = min(depth, self.k_step)
         key, nkey = jax.random.split(key)
-        noise = jax.random.normal(nkey, shape, dtype=jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(nkey, shape, dtype=jnp.float32)
         if t_max >= self.timesteps:
             x = noise
         elif t_max > 0:
@@ -180,9 +182,11 @@ class RectifiedFlow:
         t_start: Optional[float] = None,
         steps: int = 20,
         algorithm: str = "euler",
+        noise: Optional[jnp.ndarray] = None,  # parity testing: external noise
     ) -> jnp.ndarray:
         t0 = self.t_start if t_start is None else t_start
-        noise = jax.random.normal(key, shape, dtype=jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(key, shape, dtype=jnp.float32)
         if t0 > 0:
             assert x_end is not None, "Missing shallow diffusion source."
             if t0 >= 1.0:

@@ -220,9 +220,13 @@ def convert_acoustic(state_dict: Dict, cfg) -> Dict:
 
     backbone_type = cfg.get("backbone_type", "wavenet")
     n_layers = cfg.get("backbone_args", {}).get("num_layers", 20)
+    # ddpm names its net denoise_fn; rectified flow names it velocity_fn
+    net = "denoise_fn" if any(
+        k.startswith("diffusion.denoise_fn.") for k in sd
+    ) else "velocity_fn"
     params = {
         "fs2": fs2,
-        "backbone": convert_backbone(sd, "diffusion.denoise_fn", backbone_type, n_layers),
+        "backbone": convert_backbone(sd, f"diffusion.{net}", backbone_type, n_layers),
     }
     if any(k.startswith("aux_decoder.") for k in sd):
         shallow = cfg.get("shallow_diffusion_args", {})
@@ -274,17 +278,22 @@ def convert_variance(state_dict: Dict, cfg) -> Dict:
         if f"variance_embeds.{v}.weight" in sd:
             params[f"variance_embed_{v}"] = linear(sd, f"variance_embeds.{v}")
 
+    def _net(prefix):
+        return "denoise_fn" if any(
+            k.startswith(f"{prefix}.denoise_fn.") for k in sd
+        ) else "velocity_fn"
+
     if any(k.startswith("pitch_predictor.") for k in sd):
         pargs = cfg.get("pitch_prediction_args", {})
         params["pitch_backbone"] = convert_backbone(
-            sd, "pitch_predictor.denoise_fn",
+            sd, f"pitch_predictor.{_net('pitch_predictor')}",
             pargs.get("backbone_type", "wavenet"),
             pargs.get("backbone_args", {}).get("num_layers", 20),
         )
     if any(k.startswith("variance_predictor.") for k in sd):
         vargs = cfg.get("variances_prediction_args", {})
         params["variance_backbone"] = convert_backbone(
-            sd, "variance_predictor.denoise_fn",
+            sd, f"variance_predictor.{_net('variance_predictor')}",
             vargs.get("backbone_type", "wavenet"),
             vargs.get("backbone_args", {}).get("num_layers", 10),
         )
