@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 
-B = 8
+B = 4
 T_F = 2048  # frames per segment (~23.8 s audio at hop 512 / 44.1 kHz)
 K = 50  # denoiser steps
 VOCAB = 62
