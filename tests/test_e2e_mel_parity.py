@@ -99,8 +99,15 @@ def _inputs(rng, B=1, T_ph=6, T_f=24):
     return tokens, mel2ph, f0
 
 
-def test_e2e_mel_allclose(models, rng, monkeypatch):
+@pytest.mark.parametrize("algorithm,speedup", [
+    ("ddim", 5), ("pndm", 5), ("dpm-solver", 5), ("unipc", 5),
+])
+def test_e2e_mel_allclose(models, rng, monkeypatch, algorithm, speedup):
     tmodel, model, core, normalizer, cfg, params = models
+    from utils.hparams import hparams
+
+    hparams["diff_accelerator"] = algorithm
+    hparams["diff_speedup"] = speedup
     tokens, mel2ph, f0 = _inputs(rng)
     B, T_f = f0.shape
 
@@ -139,15 +146,15 @@ def test_e2e_mel_allclose(models, rng, monkeypatch):
     x = core.inference(
         denoise_fn, jax.random.PRNGKey(0), (B, 1, T_f, M),
         x_start=normalizer.norm(aux_denorm),
-        depth=cfg["K_step_infer"], speedup=cfg["diff_speedup"],
-        algorithm="ddim",
+        depth=cfg["K_step_infer"], speedup=speedup,
+        algorithm=algorithm,
         noise=jnp.asarray(noise.transpose(0, 1, 3, 2)),  # [B,1,M,T]->[B,1,T,M]
     )
     our_mel = np.asarray(normalizer.denorm(x) * mask)
 
     assert our_mel.shape == ref_mel.shape
     np.testing.assert_allclose(our_mel, ref_mel, atol=1e-3)
-    print(f"e2e mel max diff: {np.abs(our_mel - ref_mel).max():.2e}")
+    print(f"e2e mel max diff ({algorithm}): {np.abs(our_mel - ref_mel).max():.2e}")
 
 
 def test_e2e_mel_allclose_reflow(models, rng, monkeypatch):
