@@ -256,7 +256,54 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
 
     # -- model forward (parity: ds_variance.py:274-318, toplevel.py:197-306) -
 
+    @staticmethod
+    def _pad_batch(batch, fb: int = 256, tb: int = 32):
+        """Pad to shape buckets so jitted programs are reused across segments
+        (frames -> multiples of fb, tokens/notes -> multiples of tb)."""
+        up = lambda n, m: ((n + m - 1) // m) * m
+        T_s = batch["mel2note"].shape[1] if batch.get("mel2note") is not None \
+            else batch["mel2ph"].shape[1]
+        T_ph = batch["tokens"].shape[1]
+        out = dict(batch)
+        pads = {
+            # frame-level
+            "mel2ph": 0, "mel2note": 0, "base_pitch": "edge", "pitch": "edge",
+            "expr": "edge", "spk_mix_value": "edge",
+        }
+        for k in ("tokens", "ph2word", "midi", "ph_dur"):
+            v = batch.get(k)
+            if v is not None and v.shape[1] == T_ph:
+                out[k] = np.pad(v, [(0, 0), (0, up(T_ph, tb) - T_ph)])
+        for k, mode in pads.items():
+            v = batch.get(k)
+            if v is not None and v.ndim >= 2 and v.shape[1] == T_s:
+                pad = [(0, 0), (0, up(T_s, fb) - T_s)] + [(0, 0)] * (v.ndim - 2)
+                out[k] = np.pad(v, pad, mode="edge" if mode == "edge" else "constant")
+        for k in ("note_midi", "note_dur", "note_rest", "note_glide"):
+            v = batch.get(k)
+            if v is not None:
+                T_n = v.shape[1]
+                pad = [(0, 0), (0, up(T_n, tb) - T_n)]
+                if k == "note_midi":
+                    out[k] = np.pad(v, pad, constant_values=-1.0)
+                elif k == "note_rest":
+                    out[k] = np.pad(v, pad, constant_values=True)
+                else:
+                    out[k] = np.pad(v, pad)
+        return out, T_s, T_ph
+
     def forward_model(self, batch, flags: Tuple[bool, bool, bool], seed: int = 0):
+        batch, T_s_real, T_ph_real = self._pad_batch(batch)
+        out = self._forward_padded(batch, flags, seed)
+        dur, pitch, variances = out
+        if dur is not None:
+            dur = dur[:, :T_ph_real]
+        if pitch is not None:
+            pitch = pitch[:, :T_s_real]
+        variances = {k: v[:, :T_s_real] for k, v in variances.items()}
+        return dur, pitch, variances
+
+    def _forward_padded(self, batch, flags: Tuple[bool, bool, bool], seed: int = 0):
         predict_dur, predict_pitch, predict_variances = flags
         cfg = self.cfg
         model = self.model
