@@ -144,6 +144,10 @@ class Trainer:
             print(f"| resumed from step {step}")
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
         key = jax.random.PRNGKey(self.cfg.get("seed", 0))
+        # sanity validation before training (ref: num_sanity_val_steps)
+        if step == 0 and self.cfg.get("num_sanity_val_steps", 1) > 0:
+            print("| running sanity validation")
+            self.validate(0, key, sanity=True)
         epoch = 0
         t_log = time.time()
         frames_since_log = 0
@@ -191,7 +195,7 @@ class Trainer:
                 self.ckpt.save(jax.device_get(self.state), step, extra_meta={"epoch": epoch})
         print(f"| training finished at step {step}")
 
-    def validate(self, step: int, key: jax.Array):
+    def validate(self, step: int, key: jax.Array, sanity: bool = False):
         val_sampler = DistributedBatchSampler(
             self.valid_dataset,
             max_batch_frames=self.cfg.get("max_val_batch_frames", 60000),
@@ -202,7 +206,10 @@ class Trainer:
         val_sampler.set_epoch(0)
         totals: Dict[str, float] = {}
         weights = 0.0
-        for indices in val_sampler:
+        batches_iter = list(val_sampler)
+        if sanity:
+            batches_iter = batches_iter[: max(1, self.cfg.get("num_sanity_val_steps", 1))]
+        for indices in batches_iter:
             batch_np = self.valid_dataset.collate(self._pad_indices(indices))
             batch = shard_batch(batch_np, self.mesh)
             key, sub = jax.random.split(key)
@@ -219,7 +226,7 @@ class Trainer:
             self.writer.add_scalar("validation/total_loss", total, step)
             for k, v in losses.items():
                 self.writer.add_scalar(f"validation/{k}", v, step)
-        if self.on_validation_extras is not None:
+        if self.on_validation_extras is not None and not sanity:
             try:
                 self.on_validation_extras(self, step, key)
             except Exception as e:  # extras (plots/audio) must not kill training
