@@ -61,7 +61,7 @@ def lynx_denoiser_apply(
         h = h + _dense(lp["diffusion_projection"], step)[:, None, :]
         cm = lp["convmodule"]
         h = lynx_conv_module(
-            h.astype(jnp.float32),
+            h,
             cm["norm"]["scale"], cm["norm"]["bias"],
             cm["pw_in"]["kernel"], cm["pw_in"]["bias"],
             cm["dw_conv"]["kernel"], cm["dw_conv"]["bias"],

@@ -163,7 +163,7 @@ def lynx_conv_module(
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
-        x_windows,
+        x_windows.astype(jnp.bfloat16),  # halve input HBM traffic; LN is f32 inside
         ln_scale.reshape(1, dim).astype(jnp.float32),
         ln_bias.reshape(1, dim).astype(jnp.float32),
         w_out_half.astype(jnp.bfloat16), w_gate_half.astype(jnp.bfloat16),
