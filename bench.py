@@ -1,8 +1,9 @@
-"""Benchmark: acoustic synthesis throughput on one chip.
+"""Benchmark: full audio synthesis throughput on one chip.
 
-Measures end-to-end mel synthesis (encoder condition + aux decoder + K=50
-scan-fused sampler steps on the flagship acoustic model) and reports
-audio-seconds synthesized per wall-second per chip at 44.1 kHz.
+Measures the complete synthesis pipeline — encoder condition + aux decoder +
+K=50 scan-fused sampler steps (Pallas-fused LYNX denoiser) + time-folded
+NSF-HiFiGAN vocoding to 44.1 kHz waveform — and reports audio-seconds
+synthesized per wall-second per chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 ``vs_baseline`` is the real-time factor (the reference publishes no numbers —
@@ -92,6 +93,21 @@ def main():
         mel = normalizer.denorm(x)
         return mel * (mel2ph > 0)[:, :, None]
 
+    # vocoder: time-folded NSF-HiFiGAN (random weights — identical compute
+    # cost to trained ones)
+    from xiaoicesing_io_tpu.models.vocoders.nsf_fast import FastNsfHifigan
+    from xiaoicesing_io_tpu.models.vocoders.nsf_hifigan import (
+        Generator,
+        NsfHifiganConfig,
+    )
+
+    vcfg = NsfHifiganConfig()
+    gen = Generator(vcfg, dtype=jnp.bfloat16)
+    vparams = gen.init(
+        jax.random.PRNGKey(2), jnp.zeros((B, T_F, M)), jnp.full((B, T_F), 220.0)
+    )
+    fast_voc = FastNsfHifigan(vcfg, vparams, dtype=jnp.bfloat16)
+
     fn = jax.jit(synthesize)
     key = jax.random.PRNGKey(1)
     # warmup/compile; NOTE: on the axon tunnel block_until_ready does not
@@ -99,13 +115,15 @@ def main():
     # sync point, and it carries seconds of variable round-trip latency.
     # So: sync once, enqueue many iterations (device executes them
     # back-to-back on its stream), sync once, amortize.
-    np.asarray(fn(params, tokens, mel2ph, f0, key)[0, :1, :1])
+    mel = fn(params, tokens, mel2ph, f0, key)
+    np.asarray(fast_voc(mel, f0).ravel()[:1])
 
     iters = 20
     start = time.perf_counter()
     for i in range(iters):
-        out = fn(params, tokens, mel2ph, f0, jax.random.fold_in(key, i))
-    np.asarray(out[0, :1, :1])
+        mel = fn(params, tokens, mel2ph, f0, jax.random.fold_in(key, i))
+        wav = fast_voc(mel, f0)
+    np.asarray(wav.ravel()[:1])
     elapsed = (time.perf_counter() - start) / iters
 
     audio_seconds = B * T_F * cfg["hop_size"] / cfg["audio_sample_rate"]
@@ -115,7 +133,7 @@ def main():
             {
                 "metric": "audio_seconds_synthesized_per_s_per_chip",
                 "value": round(throughput, 2),
-                "unit": "audio_s/s/chip (mel, K=50 reflow euler, bf16)",
+                "unit": "audio_s/s/chip (full wav: K=50 reflow + NSF-HiFiGAN, bf16)",
                 "vs_baseline": round(throughput, 2),
             }
         )

@@ -232,15 +232,26 @@ class FastNsfHifigan:
             upp = int(np.prod(h.upsample_rates[:2]))
             har = fast_sine_gen(f0, upp, source_sr)  # [B, T*upp, 1]
         else:
+            # lane-packed harmonic source: keep samples on lanes as
+            # [B, T_frames, upp] instead of [B, T*upp, 9] (9-channel layout
+            # wastes 14/16 of each lane register)
             upp = int(np.prod(h.upsample_rates))
-            if sines is None:
-                sines = sine_gen(f0, upp, h.sampling_rate, harmonic_num=8)
-            sines = sines * 0.1
-            uv = (f0 > 0).astype(jnp.float32)[..., None]
-            uv = jnp.repeat(uv, upp, axis=1)
-            sines = sines * uv
-            wk, bk = self.source_linear
-            har = jnp.tanh(sines @ jnp.asarray(wk) + jnp.asarray(bk))  # [B, T*upp, 1]
+            f0e = f0[..., None]
+            n = jnp.arange(1, upp + 1, dtype=jnp.float32)
+            rad = f0e / h.sampling_rate * n  # [B, T, upp]
+            rad2 = jnp.fmod(rad[..., -1:].astype(jnp.float32) + 0.5, 1.0) - 0.5
+            rad_acc = jnp.fmod(jnp.cumsum(rad2, axis=1), 1.0)
+            rad = rad + jnp.pad(rad_acc[:, :-1, :], [(0, 0), (1, 0), (0, 0)])
+            wk, bk = self.source_linear  # [9, 1], [1]
+            uv = (f0 > 0).astype(jnp.float32)[..., None]  # [B, T, 1]
+            merged = jnp.zeros_like(rad)
+            for hm in range(wk.shape[0]):
+                merged = merged + float(wk[hm, 0]) * jnp.sin(
+                    2 * np.pi * (hm + 1) * rad
+                )
+            merged = 0.1 * uv * merged + float(bk[0])
+            har = jnp.tanh(merged)  # [B, T, upp]
+            har = har.reshape(har.shape[0], -1, 1)  # [B, T*upp, 1]
 
         x = _conv_folded(mel, *self.w["conv_pre"], dtype=dt)  # F=1
         F_cur = 1

@@ -38,9 +38,17 @@ class NsfHifiGAN:
         self.generator = Generator(self.vcfg, dtype=jnp.bfloat16)
         self.params = convert_nsf_hifigan(sd, self.vcfg)
         self._check_params()
-        self._spec2wav = jax.jit(
-            lambda params, mel, f0: self.generator.apply(params, mel, f0)
-        )
+        if cfg.get("use_folded_vocoder", True):
+            # lane-packed folded layout (see nsf_fast.py) — same weights,
+            # several-fold faster on TPU
+            from .nsf_fast import FastNsfHifigan
+
+            fast = FastNsfHifigan(self.vcfg, self.params, dtype=jnp.bfloat16)
+            self._spec2wav = lambda params, mel, f0: fast(mel, f0)
+        else:
+            self._spec2wav = jax.jit(
+                lambda params, mel, f0: self.generator.apply(params, mel, f0)
+            )
 
     def _check_params(self):
         pairs = [
