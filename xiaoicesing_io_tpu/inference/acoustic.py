@@ -13,7 +13,6 @@ runs as one jitted call; the vocoder is a second jitted call.
 
 from __future__ import annotations
 
-import json
 from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -23,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..models.diffusion.core import GaussianDiffusion, RectifiedFlow
+from ..models.diffusion.core import GaussianDiffusion
 from ..models.toplevel import AcousticModel, VARIANCE_CHECKLIST
 from ..ops.seq import length_regulator
 from ..training.acoustic import build_acoustic

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.seq import gather_frames, length_regulator, rhythm_regulator
+from ..ops.seq import gather_frames
 from .aux_decoder import build_aux_decoder
 from .backbones import build_backbone
 from .common import normal_embed_init

@@ -17,7 +17,6 @@ from pathlib import Path
 from typing import List
 
 import flax
-import jax
 import numpy as np
 import optax
 
@@ -61,7 +60,7 @@ def load_finetune_params(params, cfg, model_category: str):
     strict_shapes = cfg.get("finetune_strict_shapes", True)
 
     if ckpt_path.is_dir():
-        from .checkpoint import load_checkpoint, _checkpointer
+        from .checkpoint import _checkpointer
         import json
 
         with open(ckpt_path / "meta.json") as f:

@@ -11,7 +11,7 @@ psum, mirroring torchmetrics' dist_reduce_fx='sum'.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np

@@ -7,7 +7,6 @@ Equivalent of AcousticTask / VarianceTask construction in
 from __future__ import annotations
 
 import shutil
-from functools import partial
 from pathlib import Path
 
 import jax

@@ -8,7 +8,7 @@ checkpoints resume exactly (no scheduler-state replay needed).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

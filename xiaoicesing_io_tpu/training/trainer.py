@@ -23,7 +23,6 @@ from pathlib import Path
 from typing import Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..data.sampler import DistributedBatchSampler
