@@ -105,6 +105,31 @@ class Trainer:
         )
         self.num_devices = len(jax.devices())
 
+    def _prefetch(self, sampler, depth: int = 2):
+        """Collate batches in a background thread so host-side data prep
+        overlaps device steps (the reference overlaps via DataLoader worker
+        processes; a thread suffices since collate is numpy-bound)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def producer():
+            try:
+                for indices in sampler:
+                    q.put(self.collate(self._pad_indices(indices)))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
     def _pad_indices(self, indices):
         """The batch dim is sharded over the mesh, so it must be a multiple of
         the local device count; pad by cycling samples (same spirit as the
@@ -153,10 +178,9 @@ class Trainer:
         last_validated = -1
         while step < self.max_updates:
             sampler = self._make_sampler(epoch)
-            for batch_idx, indices in enumerate(sampler):
+            for batch_idx, batch_np in enumerate(self._prefetch(sampler)):
                 if step >= self.max_updates:
                     break
-                batch_np = self.collate(self._pad_indices(indices))
                 if "mel2ph" in batch_np:
                     frames_since_log += int(np.prod(batch_np["mel2ph"].shape))
                 batch = shard_batch(batch_np, self.mesh)
