@@ -116,3 +116,35 @@ def test_drop_spk_roundtrip(tiny_ckpt):
     table = np.asarray(restored["params"]["fs2"]["spk_embed"]["embedding"])
     assert np.allclose(table[1], 0)
     assert not np.allclose(table[0], 0)
+
+
+def test_export_acoustic_savedmodel(tiny_ckpt, tmp_path):
+    cfg, wd = tiny_ckpt
+    tf = pytest.importorskip("tensorflow")
+    from xiaoicesing_io_tpu.deployment.export import export_acoustic
+
+    out = export_acoustic(cfg, out_dir=str(tmp_path / "sm"), fmt="savedmodel")
+    assert (out / "diffusion_step.savedmodel").exists()
+    mod = tf.saved_model.load(str(out / "diffusion_step.savedmodel"))
+    B, T_f, M, H = 1, 512, cfg["audio_num_mel_bins"], cfg["hidden_size"]
+    y = mod.f(
+        tf.zeros((B, 1, T_f, M), tf.float32), tf.zeros((B,), tf.float32),
+        tf.zeros((B, T_f, H), tf.float32),
+    )
+    assert tuple(y.shape) == (B, 1, T_f, M)
+
+    # SavedModel output must match the jax graph on the same inputs
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, 1, T_f, M)).astype(np.float32)
+    t = np.full((B,), 0.5, np.float32)
+    cond = rng.standard_normal((B, T_f, H)).astype(np.float32) * 0.1
+    from jax import export as jexport
+
+    shlo_out = export_acoustic(cfg, out_dir=str(tmp_path / "shlo"))
+    ref = np.asarray(
+        jexport.deserialize(
+            (shlo_out / "diffusion_step.stablehlo").read_bytes()
+        ).call(x, t, cond)
+    )
+    got = mod.f(tf.constant(x), tf.constant(t), tf.constant(cond)).numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -254,26 +254,49 @@ def export():
     pass
 
 
-@export.command("acoustic", help="Export acoustic model (StableHLO + manifest)")
+_format_opt = click.option(
+    "--format", "fmt", type=click.Choice(["stablehlo", "savedmodel"]),
+    default="stablehlo", show_default=True,
+    help="Graph format: portable StableHLO, or a TF SavedModel "
+         "(convertible offline to ONNX via tf2onnx)")
+
+
+@export.command("acoustic", help="Export acoustic model (partial graphs + manifest)")
 @click.option("--exp", required=True)
 @click.option("--ckpt", type=int, required=False)
 @click.option("--out", required=False)
-def export_acoustic(exp, ckpt, out):
+@_format_opt
+def export_acoustic(exp, ckpt, out, fmt):
     from ..deployment.export import export_acoustic as _export
 
     cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
-    _export(cfg, out_dir=out, ckpt_steps=ckpt)
+    _export(cfg, out_dir=out, ckpt_steps=ckpt, fmt=fmt)
 
 
-@export.command("variance", help="Export variance model (StableHLO + manifest)")
+@export.command("variance", help="Export variance model (partial graphs + manifest)")
 @click.option("--exp", required=True)
 @click.option("--ckpt", type=int, required=False)
 @click.option("--out", required=False)
-def export_variance(exp, ckpt, out):
+@_format_opt
+def export_variance(exp, ckpt, out, fmt):
     from ..deployment.export import export_variance as _export
 
     cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
-    _export(cfg, out_dir=out, ckpt_steps=ckpt)
+    _export(cfg, out_dir=out, ckpt_steps=ckpt, fmt=fmt)
+
+
+@export.command("nsf-hifigan", help="Export NSF-HiFiGAN vocoder graph + vocoder.yaml")
+@click.option("--exp", required=False, help="Experiment whose config names the vocoder ckpt")
+@click.option("--config", "config_path", required=False, help="Config YAML (alternative to --exp)")
+@click.option("--ckpt", "ckpt_path", required=False, help="Vocoder model.ckpt path override")
+@click.option("--out", required=False)
+@_format_opt
+def export_nsf_hifigan(exp, config_path, ckpt_path, out, fmt):
+    from ..deployment.export import export_nsf_hifigan as _export
+
+    cfg = load_config(config_path, exp_name=_find_exp(exp) if exp else None,
+                      infer=True)
+    _export(cfg, out_dir=out, ckpt_path=ckpt_path, fmt=fmt)
 
 
 if __name__ == "__main__":

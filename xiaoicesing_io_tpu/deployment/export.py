@@ -30,16 +30,45 @@ from ..utils.phonemes import PhonemeDictionary, locate_dictionary
 from ..utils.text_encoder import TokenTextEncoder
 
 
-def _export_fn(fn, args, path: Path, name: str):
-    """Serialize a jittable fn to StableHLO bytes (static example shapes)."""
-    from jax import export as jexport
+FORMATS = ("stablehlo", "savedmodel")
 
-    exported = jexport.export(jax.jit(fn))(*args)
-    data = exported.serialize()
-    out = path / f"{name}.stablehlo"
-    out.write_bytes(data)
-    print(f"| export graph: {out} ({len(data) / 1e6:.2f} MB)")
-    return out
+
+def _export_fn(fn, args, path: Path, name: str, fmt: str = "stablehlo"):
+    """Serialize a jittable fn (static example shapes).
+
+    ``stablehlo``: portable StableHLO bytes via ``jax.export``.
+    ``savedmodel``: TensorFlow SavedModel via ``jax2tf`` — loadable by TF
+    Serving or convertible offline to ONNX with ``tf2onnx`` for OpenUTAU-style
+    consumers (the reference ships ONNX directly,
+    ref: deployment/exporters/acoustic_exporter.py:160-310).
+    """
+    if fmt == "stablehlo":
+        from jax import export as jexport
+
+        exported = jexport.export(jax.jit(fn))(*args)
+        data = exported.serialize()
+        out = path / f"{name}.stablehlo"
+        out.write_bytes(data)
+        print(f"| export graph: {out} ({len(data) / 1e6:.2f} MB)")
+        return out
+    if fmt == "savedmodel":
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        sig = [
+            tf.TensorSpec(np.shape(a), tf.as_dtype(np.asarray(a).dtype))
+            for a in args
+        ]
+        module = tf.Module()
+        module.f = tf.function(
+            jax2tf.convert(fn, with_gradient=False),
+            autograph=False, input_signature=sig,
+        )
+        out = path / f"{name}.savedmodel"
+        tf.saved_model.save(module, str(out))
+        print(f"| export graph: {out}")
+        return out
+    raise ValueError(f"unknown export format {fmt!r}; choose from {FORMATS}")
 
 
 def _write_attachments(cfg, out_dir: Path, encoder: TokenTextEncoder, params):
@@ -62,7 +91,8 @@ def _write_attachments(cfg, out_dir: Path, encoder: TokenTextEncoder, params):
                 print(f"| export speaker embed: {name}.emb")
 
 
-def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None):
+def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
+                    fmt: str = "stablehlo"):
     from ..models.toplevel import AcousticModel
     from ..training.acoustic import build_acoustic
     from ..training.checkpoint import load_params_for_inference
@@ -99,7 +129,7 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None)
     fs2_args = (tokens, mel2ph, f0)
     if use_spk:
         fs2_args = fs2_args + (jnp.zeros((B, 1, H), jnp.float32),)
-    _export_fn(fs2_aux, fs2_args, out, "fs2_aux")
+    _export_fn(fs2_aux, fs2_args, out, "fs2_aux", fmt)
 
     x = jnp.zeros((B, 1, T_f, M), jnp.float32)
     t = jnp.zeros((B,), jnp.float32)
@@ -108,14 +138,14 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None)
     def denoiser(x, t, cond):
         return model.apply(params, x, t, cond, method=AcousticModel.denoise)
 
-    _export_fn(denoiser, (x, t, cond), out, "diffusion_step")
+    _export_fn(denoiser, (x, t, cond), out, "diffusion_step", fmt)
 
     manifest = {
         "model_type": "acoustic",
         "diffusion_type": cfg.get("diffusion_type", "ddpm"),
         "phonemes": "phonemes.txt",
-        "acoustic": "fs2_aux.stablehlo",
-        "diffusion": "diffusion_step.stablehlo",
+        "acoustic": f"fs2_aux.{fmt}",
+        "diffusion": f"diffusion_step.{fmt}",
         "vocoder": cfg.get("vocoder", "NsfHifiGAN"),
         "sample_rate": cfg["audio_sample_rate"],
         "hop_size": cfg["hop_size"],
@@ -136,7 +166,8 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None)
     return out
 
 
-def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None):
+def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
+                    fmt: str = "stablehlo"):
     from ..models.toplevel import VarianceModel
     from ..training.checkpoint import load_params_for_inference
     from ..training.variance import build_variance
@@ -164,9 +195,9 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None)
         )
         return (enc, dur) if dur is not None else enc
 
-    _export_fn(linguistic, (tokens, midi, ph2word, ph_dur), out, "linguistic_dur")
+    _export_fn(linguistic, (tokens, midi, ph2word, ph_dur), out, "linguistic_dur", fmt)
 
-    graphs = {"linguistic": "linguistic_dur.stablehlo"}
+    graphs = {"linguistic": f"linguistic_dur.{fmt}"}
     if model.predict_pitch:
         pargs = cfg.get("pitch_prediction_args", {})
         xp = jnp.zeros((B, 1, T_f, pargs.get("repeat_bins", 64)), jnp.float32)
@@ -176,8 +207,8 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None)
         def pitch_step(x, t, cond):
             return model.apply(params, x, t, cond, method=VarianceModel.denoise_pitch)
 
-        _export_fn(pitch_step, (xp, t, cond), out, "pitch_step")
-        graphs["pitch"] = "pitch_step.stablehlo"
+        _export_fn(pitch_step, (xp, t, cond), out, "pitch_step", fmt)
+        graphs["pitch"] = f"pitch_step.{fmt}"
     if model.predict_variances:
         vargs = cfg.get("variances_prediction_args", {})
         n = len(model.variance_prediction_list)
@@ -188,8 +219,8 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None)
         def var_step(x, t, cond):
             return model.apply(params, x, t, cond, method=VarianceModel.denoise_variance)
 
-        _export_fn(var_step, (xv, t, cond), out, "variance_step")
-        graphs["variance"] = "variance_step.stablehlo"
+        _export_fn(var_step, (xv, t, cond), out, "variance_step", fmt)
+        graphs["variance"] = f"variance_step.{fmt}"
 
     manifest = {
         "model_type": "variance",
@@ -207,4 +238,49 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None)
     with open(out / "dsconfig.yaml", "w") as f:
         yaml.safe_dump(manifest, f, sort_keys=False)
     print(f"| export manifest: {out / 'dsconfig.yaml'}")
+    return out
+
+
+def export_nsf_hifigan(cfg: Config, out_dir: Optional[str] = None,
+                       ckpt_path: Optional[str] = None, fmt: str = "stablehlo"):
+    """Export the NSF-HiFiGAN vocoder as a (mel, f0) -> wav graph plus a
+    ``vocoder.yaml`` mel-spec manifest (ref:
+    deployment/exporters/nsf_hifigan_exporter.py:32-118).
+
+    The graph takes natural-log mel [1, T, M] and f0 [1, T] and returns the
+    44.1 kHz waveform [1, T * hop]; consumers feeding log10 mel must scale by
+    ln(10) first (the manifest records ``mel_base``).
+    """
+    from ..models.vocoders.wrapper import NsfHifiGAN
+
+    out = Path(out_dir or (Path("artifacts") / "nsf_hifigan"))
+    out.mkdir(parents=True, exist_ok=True)
+    vocoder = NsfHifiGAN(cfg, model_path=ckpt_path)
+    h, params, generator = vocoder.h, vocoder.params, vocoder.generator
+
+    T_f = 256
+    mel = jnp.zeros((1, T_f, h["num_mels"]), jnp.float32)
+    f0 = jnp.full((1, T_f), 220.0, jnp.float32)
+
+    def spec2wav(mel, f0):
+        return generator.apply(params, mel, f0)
+
+    _export_fn(spec2wav, (mel, f0), out, "nsf_hifigan", fmt)
+
+    manifest = {
+        "name": "NSF-HiFiGAN",
+        "model": f"nsf_hifigan.{fmt}",
+        "sample_rate": h["sampling_rate"],
+        "hop_size": h["hop_size"],
+        "win_size": h["win_size"],
+        "fft_size": h["n_fft"],
+        "num_mel_bins": h["num_mels"],
+        "mel_fmin": h["fmin"],
+        "mel_fmax": h["fmax"],
+        "mel_base": "e",
+        "mel_scale": "slaney",
+    }
+    with open(out / "vocoder.yaml", "w") as f:
+        yaml.safe_dump(manifest, f, sort_keys=False)
+    print(f"| export manifest: {out / 'vocoder.yaml'}")
     return out
