@@ -1,0 +1,136 @@
+"""Data-parallel batched synthesis for high-throughput serving.
+
+The reference serves segments one at a time on one device
+(``inference/ds_acoustic.py:189-246``).  On a TPU slice the same jitted
+synthesis function scales out instead: segments are bucketed to shared frame
+lengths, stacked into batches, and the batch axis is sharded over the ``dp``
+mesh — every chip denoises its shard of segments, parameters stay replicated,
+and no collectives are needed at all (inference is embarrassingly parallel
+over segments).
+
+Notes
+-----
+* Per-segment PRNG parity with the sequential path is intentionally NOT kept:
+  the stacked batch draws its noise from one key (per group).  Serving wants
+  throughput; bit-exact single-segment reproduction stays on
+  ``DiffSingerAcousticInfer.forward_model``.
+* Batch rows padded to the mesh size use token 0 / mel2ph 0, which the model
+  masks out end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from .acoustic import DiffSingerAcousticInfer, _bucket
+
+
+def _pad_rows(v: np.ndarray, target_len: int) -> np.ndarray:
+    """Pad [1, T, ...] time axis to target_len."""
+    if v.ndim >= 2 and v.shape[1] != target_len:
+        pad = [(0, 0), (0, target_len - v.shape[1])] + [(0, 0)] * (v.ndim - 2)
+        return np.pad(v, pad)
+    return v
+
+
+class DataParallelSynthesizer:
+    """Run many .ds segments through the acoustic model, sharded over a mesh.
+
+    >>> infer = DiffSingerAcousticInfer(cfg, load_vocoder=True)
+    >>> dp = DataParallelSynthesizer(infer)
+    >>> mels, f0s = dp.synthesize_mels(segments)
+    >>> wavs = dp.vocode(mels, f0s)
+    """
+
+    def __init__(self, infer: DiffSingerAcousticInfer, mesh=None):
+        self.infer = infer
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._jitted: Dict[int, callable] = {}
+
+    # -- core ---------------------------------------------------------------
+
+    def _fn_for(self, padded_len: int):
+        fn = self._jitted.get(padded_len)
+        if fn is None:
+            repl = replicated_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+            fn = jax.jit(
+                self.infer._make_synthesis_fn(),
+                in_shardings=(repl, data, repl),
+                out_shardings=data,
+            )
+            self._jitted[padded_len] = fn
+        return fn
+
+    def synthesize_mels(
+        self, segments: Sequence[dict], seed: int = 0,
+        max_group_size: Optional[int] = None,
+    ):
+        """segments: .ds segment dicts.  Returns (mels, f0s) in input order;
+        mels[i] is [T_i, M], f0s[i] is [T_i]."""
+        n_dev = self.mesh.devices.size
+        batches = [
+            self.infer.preprocess_input(p, idx=i) for i, p in enumerate(segments)
+        ]
+        lengths = [int(b["mel2ph"].shape[1]) for b in batches]
+        cap = max_group_size or max(n_dev, 8)
+
+        groups: Dict[int, List[int]] = defaultdict(list)
+        for i, ln in enumerate(lengths):
+            groups[_bucket(ln)].append(i)
+
+        mels: List[Optional[np.ndarray]] = [None] * len(segments)
+        f0s: List[Optional[np.ndarray]] = [None] * len(segments)
+        for padded_len, idxs in sorted(groups.items()):
+            for lo in range(0, len(idxs), cap):
+                chunk = idxs[lo : lo + cap]
+                pad_b = (-len(chunk)) % n_dev
+                stacked: Dict[str, jnp.ndarray] = {}
+                for k in batches[chunk[0]]:
+                    rows = [
+                        _pad_rows(np.asarray(batches[i][k]), padded_len)
+                        if k not in ("tokens", "spk_mix_id")
+                        else np.asarray(batches[i][k])
+                        for i in chunk
+                    ]
+                    # ragged token axes within a group: pad to the widest
+                    wid = max(r.shape[1] for r in rows) if rows[0].ndim > 1 else 0
+                    rows = [
+                        np.pad(r, [(0, 0), (0, wid - r.shape[1])] + [(0, 0)] * (r.ndim - 2))
+                        if r.ndim > 1 and r.shape[1] != wid else r
+                        for r in rows
+                    ]
+                    cat = np.concatenate(rows, axis=0)
+                    if pad_b:
+                        cat = np.concatenate(
+                            [cat, np.zeros((pad_b,) + cat.shape[1:], cat.dtype)], axis=0
+                        )
+                    stacked[k] = jnp.asarray(cat)
+                fn = self._fn_for(padded_len)
+                key = jax.random.PRNGKey((seed + padded_len) & 0xFFFFFFFF)
+                out = np.asarray(fn(self.infer.params, stacked, key))
+                for row, i in enumerate(chunk):
+                    mels[i] = out[row, : lengths[i]]
+                    f0s[i] = np.asarray(batches[i]["f0"])[0, : lengths[i]]
+        return mels, f0s
+
+    def vocode(self, mels: Sequence[np.ndarray], f0s: Sequence[np.ndarray]):
+        """Batch same-length mels through the vocoder; returns wavs in order."""
+        assert self.infer.vocoder is not None, "built with load_vocoder=False"
+        groups: Dict[int, List[int]] = defaultdict(list)
+        for i, m in enumerate(mels):
+            groups[m.shape[0]].append(i)
+        wavs: List[Optional[np.ndarray]] = [None] * len(mels)
+        for ln, idxs in sorted(groups.items()):
+            mel = np.stack([mels[i] for i in idxs])
+            f0 = np.stack([f0s[i] for i in idxs])
+            out = self.infer.vocoder.spec2wav(mel, f0)
+            for row, i in enumerate(idxs):
+                wavs[i] = out[row]
+        return wavs
