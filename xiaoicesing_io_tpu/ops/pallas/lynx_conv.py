@@ -69,7 +69,9 @@ def _kernel(
     # out periodically with pad_l + pad_r = k - 1 padding rows between them
     # (period = seq_len + k - 1), so windows never mix sequences.
     row0 = pl.program_id(0) * tile
-    gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, inner.shape, 0)
+    # mask depends only on the row index: compute it [rows, 1] and let the
+    # where broadcast, instead of full-width iota/rem/compare passes
+    gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, (inner.shape[0], 1), 0)
     pos = jax.lax.rem(gidx, jnp.int32(period))
     valid = (pos >= pad_l) & (pos < pad_l + seq_len) & (gidx < total_rows)
     inner = jnp.where(valid, inner, 0.0)
