@@ -147,7 +147,10 @@ def _trans_key(params, key: int):
 @click.option("--depth", type=float, required=False)
 @click.option("--steps", type=int, required=False)
 @click.option("--mel", is_flag=True, help="Save mel instead of waveform")
-def acoustic(proj, exp, ckpt, spk, out, title, num, key, seed, depth, steps, mel):
+@click.option("--dp", is_flag=True,
+              help="Shard segment batches over all devices (serving mode; "
+                   "per-segment seeds are replaced by one key per batch group)")
+def acoustic(proj, exp, ckpt, spk, out, title, num, key, seed, depth, steps, mel, dp):
     exp = _find_exp(exp)
     name, params = _load_ds(proj)
     if key != 0:
@@ -167,7 +170,7 @@ def acoustic(proj, exp, ckpt, spk, out, title, num, key, seed, depth, steps, mel
     out_dir = pathlib.Path(out) if out else pathlib.Path(proj).parent
     runner.run_inference(
         params, out_dir=out_dir, title=title or name, num_runs=num,
-        seed=seed, save_mel=mel,
+        seed=seed, save_mel=mel, data_parallel=dp,
     )
 
 

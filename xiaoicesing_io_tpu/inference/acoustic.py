@@ -250,18 +250,36 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
     def run_inference(
         self, params: List[dict], out_dir: Path, title: str,
         num_runs: int = 1, seed: int = -1, save_mel: bool = False,
+        data_parallel: bool = False,
     ):
+        """``data_parallel=True`` shards segment batches over all devices
+        (serving mode; per-segment seeds are replaced by one key per batch
+        group — see inference/serving.py)."""
         batches = [self.preprocess_input(p, idx=i) for i, p in enumerate(params)]
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         suffix = ".wav" if not save_mel else ".mel.npz"
         sr = self.cfg["audio_sample_rate"]
+        dp = None
+        if data_parallel:
+            from .serving import DataParallelSynthesizer
+
+            dp = DataParallelSynthesizer(self)
         for run in range(num_runs):
+            dp_mels = None
+            if dp is not None:
+                dp_mels, _ = dp.synthesize_mels(
+                    params, seed=(seed if seed >= 0 else run * 1000),
+                    batches=batches,
+                )
             result = [] if save_mel else np.zeros(0)
             current_length = 0
             for i, (param, batch) in enumerate(zip(params, batches)):
-                seg_seed = param.get("seed", seed if seed >= 0 else run * 1000 + i)
-                mel_pred = self.forward_model(batch, seed=int(seg_seed))
+                if dp_mels is not None:
+                    mel_pred = dp_mels[i][None]
+                else:
+                    seg_seed = param.get("seed", seed if seed >= 0 else run * 1000 + i)
+                    mel_pred = self.forward_model(batch, seed=int(seg_seed))
                 if save_mel:
                     result.append({
                         "offset": param.get("offset", 0.0),

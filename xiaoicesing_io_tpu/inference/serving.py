@@ -70,14 +70,16 @@ class DataParallelSynthesizer:
 
     def synthesize_mels(
         self, segments: Sequence[dict], seed: int = 0,
-        max_group_size: Optional[int] = None,
+        max_group_size: Optional[int] = None, batches: Optional[List[dict]] = None,
     ):
         """segments: .ds segment dicts.  Returns (mels, f0s) in input order;
-        mels[i] is [T_i, M], f0s[i] is [T_i]."""
+        mels[i] is [T_i, M], f0s[i] is [T_i].  Pass ``batches`` to reuse
+        already-preprocessed inputs."""
         n_dev = self.mesh.devices.size
-        batches = [
-            self.infer.preprocess_input(p, idx=i) for i, p in enumerate(segments)
-        ]
+        if batches is None:
+            batches = [
+                self.infer.preprocess_input(p, idx=i) for i, p in enumerate(segments)
+            ]
         lengths = [int(b["mel2ph"].shape[1]) for b in batches]
         cap = max_group_size or max(n_dev, 8)
 
