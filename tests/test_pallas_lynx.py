@@ -37,3 +37,24 @@ def test_lynx_conv_kernel_matches_flax(rng, B, T, dim, inner_x, k):
     np.testing.assert_allclose(out, ref, atol=0.15, rtol=0.05)
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_lynx_conv_kernel_chunked_matches_unchunked(rng, chunks):
+    module = LYNXConvModule(dim=128, expansion_factor=2, kernel_size=31)
+    x = jnp.asarray(rng.standard_normal((2, 257, 128)).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(0), x)
+    p = params["params"]
+    args = (
+        x,
+        p["norm"]["scale"], p["norm"]["bias"],
+        p["pw_in"]["kernel"], p["pw_in"]["bias"],
+        p["dw_conv"]["kernel"], p["dw_conv"]["bias"],
+        p["act"]["alpha"],
+        p["pw_out"]["kernel"], p["pw_out"]["bias"],
+    )
+    base = np.asarray(lynx_conv_module(*args, kernel_size=31, tile=128, interpret=True))
+    out = np.asarray(lynx_conv_module(*args, kernel_size=31, tile=128,
+                                      chunks=chunks, interpret=True))
+    # identical math, different issue order -> bitwise equal up to reassoc-free ops
+    np.testing.assert_allclose(out, base, atol=1e-6)

@@ -30,6 +30,7 @@ def lynx_denoiser_apply(
     strong_cond: bool = True,
     kernel_size: int = 31,
     tile: int = 256,
+    chunks: int = 1,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
@@ -67,7 +68,7 @@ def lynx_denoiser_apply(
             cm["dw_conv"]["kernel"], cm["dw_conv"]["bias"],
             cm["act"]["alpha"],
             cm["pw_out"]["kernel"], cm["pw_out"]["bias"],
-            kernel_size=kernel_size, tile=tile, interpret=interpret,
+            kernel_size=kernel_size, tile=tile, chunks=chunks, interpret=interpret,
         ).astype(compute_dtype)
         x = h + res
 

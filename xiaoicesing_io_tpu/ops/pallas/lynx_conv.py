@@ -49,6 +49,7 @@ def _kernel(
     seq_len: int,
     period: int,
     total_rows: int,
+    chunks: int,
 ):
     x = x_ref[0].astype(jnp.float32)
     # LayerNorm over channels
@@ -58,41 +59,59 @@ def _kernel(
     xn = xn * ln_scale_ref[...] + ln_bias_ref[...]
     xn = xn.astype(jnp.bfloat16)
 
-    out_b = jnp.dot(xn, w_out_ref[...], preferred_element_type=jnp.float32)
-    gate_b = jnp.dot(xn, w_gate_ref[...], preferred_element_type=jnp.float32)
-    g = gate_b + b_gate_ref[...]
-    inner = (out_b + b_out_ref[...]) * (g * jax.nn.sigmoid(g))  # SwiGLU
-
-    # zero the conv's padding rows: the torch 'same' zero padding applies to
-    # the INNER activations (post pw_in), while our halo rows are zero x rows
-    # whose LN/matmul output is nonzero — mask them out.  Sequences are laid
-    # out periodically with pad_l + pad_r = k - 1 padding rows between them
-    # (period = seq_len + k - 1), so windows never mix sequences.
+    # software pipelining: the tile is split into row chunks; both pw_in
+    # matmuls of EVERY chunk are issued first (back-to-back MXU work), then
+    # the VPU stage (SwiGLU/mask/31-tap conv/PReLU) and the out-projection
+    # run per chunk — so chunk c's VPU work overlaps chunk c+1's matmuls and
+    # chunk c-1's out-projection instead of serializing MXU and VPU.
+    assert tile % chunks == 0
+    csz = tile // chunks
     row0 = pl.program_id(0) * tile
-    # mask depends only on the row index: compute it [rows, 1] and let the
-    # where broadcast, instead of full-width iota/rem/compare passes
-    gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, (inner.shape[0], 1), 0)
-    pos = jax.lax.rem(gidx, jnp.int32(period))
-    valid = (pos >= pad_l) & (pos < pad_l + seq_len) & (gidx < total_rows)
-    inner = jnp.where(valid, inner, 0.0)
 
-    # depthwise conv over the row (time) axis: valid over the halo
-    acc = jnp.zeros((tile, inner.shape[1]), jnp.float32)
-    for tap in range(k):
-        acc = acc + inner[tap : tap + tile, :] * dw_ref[tap, :][None, :]
-    acc = acc + dw_bias_ref[...]
+    mats = []
+    for c in range(chunks):
+        xn_c = xn[c * csz : c * csz + csz + k - 1]
+        mats.append((
+            jnp.dot(xn_c, w_out_ref[...], preferred_element_type=jnp.float32),
+            jnp.dot(xn_c, w_gate_ref[...], preferred_element_type=jnp.float32),
+        ))
 
-    # PReLU
     alpha = alpha_ref[...]
-    acc = jnp.where(acc >= 0, acc, alpha * acc)
+    for c in range(chunks):
+        out_b, gate_b = mats[c]
+        g = gate_b + b_gate_ref[...]
+        inner = (out_b + b_out_ref[...]) * (g * jax.nn.sigmoid(g))  # SwiGLU
 
-    out = jnp.dot(acc.astype(jnp.bfloat16), w2_ref[...],
-                  preferred_element_type=jnp.float32)
-    o_ref[...] = (out + b2_ref[...]).astype(o_ref.dtype)
+        # zero the conv's padding rows: the torch 'same' zero padding applies
+        # to the INNER activations (post pw_in), while our halo rows are zero
+        # x rows whose LN/matmul output is nonzero — mask them out.  Sequences
+        # are laid out periodically with pad_l + pad_r = k - 1 padding rows
+        # between them (period = seq_len + k - 1), so windows never mix
+        # sequences.  The mask depends only on the row index: compute it
+        # [rows, 1] and let the where broadcast.
+        gidx = (row0 + c * csz) + jax.lax.broadcasted_iota(
+            jnp.int32, (inner.shape[0], 1), 0
+        )
+        pos = jax.lax.rem(gidx, jnp.int32(period))
+        valid = (pos >= pad_l) & (pos < pad_l + seq_len) & (gidx < total_rows)
+        inner = jnp.where(valid, inner, 0.0)
+
+        # depthwise conv over the row (time) axis: valid over the halo
+        acc = jnp.zeros((csz, inner.shape[1]), jnp.float32)
+        for tap in range(k):
+            acc = acc + inner[tap : tap + csz, :] * dw_ref[tap, :][None, :]
+        acc = acc + dw_bias_ref[...]
+
+        # PReLU
+        acc = jnp.where(acc >= 0, acc, alpha * acc)
+
+        out = jnp.dot(acc.astype(jnp.bfloat16), w2_ref[...],
+                      preferred_element_type=jnp.float32)
+        o_ref[c * csz : (c + 1) * csz] = (out + b2_ref[...]).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel_size", "tile", "interpret")
+    jax.jit, static_argnames=("kernel_size", "tile", "chunks", "interpret")
 )
 def lynx_conv_module(
     x: jnp.ndarray,  # [B, T, dim]
@@ -106,6 +125,7 @@ def lynx_conv_module(
     b2,  # [dim]
     kernel_size: int = 31,
     tile: int = 256,
+    chunks: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns the conv-module output [B, T, dim] (residual NOT added)."""
@@ -142,7 +162,7 @@ def lynx_conv_module(
     out = pl.pallas_call(
         functools.partial(
             _kernel, k=k, tile=tile, pad_l=pad_l, seq_len=T, period=period,
-            total_rows=total_rows,
+            total_rows=total_rows, chunks=chunks,
         ),
         out_shape=jax.ShapeDtypeStruct((total, dim), x.dtype),
         grid=grid,
