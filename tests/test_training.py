@@ -110,3 +110,45 @@ def test_variance_training_loop(tiny_binary, tmp_path):
     from xiaoicesing_io_tpu.training.checkpoint import list_checkpoints
 
     assert len(list_checkpoints(cfg["work_dir"])) >= 1
+
+
+def test_acoustic_training_multispeaker_reflow(tiny_binary, tmp_path):
+    """BASELINE config 4: rectified-flow acoustic + multi-speaker embedding.
+
+    Splits the synthetic corpus into two speaker dirs, binarizes with spk ids,
+    and trains the reflow acoustic model with a trainable speaker table."""
+    import shutil
+
+    root = tiny_binary
+    two = tmp_path / "two_spk"
+    for spk, items in (("alice", (0, 1)), ("bob", (2, 3))):
+        d = two / spk / "wavs"
+        d.mkdir(parents=True)
+        lines = (root / "raw/transcriptions.csv").read_text().splitlines()
+        keep = [lines[0]] + [l for l in lines[1:] if int(l.split(",")[0][4:]) in items]
+        (two / spk / "transcriptions.csv").write_text("\n".join(keep) + "\n")
+        for i in items:
+            shutil.copy(root / f"raw/wavs/item{i}.wav", d / f"item{i}.wav")
+
+    cfg = _acoustic_cfg(root, tmp_path / "exp_ms")
+    cfg.update(
+        raw_data_dir=[str(two / "alice"), str(two / "bob")],
+        binary_data_dir=str(tmp_path / "binary_ms"),
+        speakers=["alice", "bob"], use_spk_id=True, num_spk=2,
+        diffusion_type="reflow",
+    )
+    from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+    AcousticBinarizer(cfg).process()
+    import json
+
+    spk_map = json.loads((Path(cfg["binary_data_dir"]) / "spk_map.json").read_text())
+    assert spk_map == {"alice": 0, "bob": 1}
+
+    from xiaoicesing_io_tpu.training.tasks import build_acoustic_trainer
+
+    trainer = build_acoustic_trainer(cfg)
+    trainer.fit()
+    from xiaoicesing_io_tpu.training.checkpoint import list_checkpoints
+
+    assert len(list_checkpoints(cfg["work_dir"])) >= 1
