@@ -148,3 +148,61 @@ def test_export_acoustic_savedmodel(tiny_ckpt, tmp_path):
     )
     got = mod.f(tf.constant(x), tf.constant(t), tf.constant(cond)).numpy()
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_export_acoustic_input_surface_and_freeze(tmp_path):
+    """Models with key_shift/speed/variance embeds export those as graph
+    inputs; freeze options bake constants instead."""
+    wd = tmp_path / "exp_ks"
+    wd.mkdir()
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
+    )
+    cfg.update(
+        work_dir=str(wd), dictionary=str(DICT), exp_name="export_ks",
+        enc_layers=1, use_spk_id=True, num_spk=2,
+        use_key_shift_embed=True, use_speed_embed=True, use_energy_embed=True,
+        backbone_args=Config(num_channels=32, num_layers=1, kernel_size=31,
+                             strong_cond=True),
+    )
+    cfg["shallow_diffusion_args"]["aux_decoder_args"].update(num_channels=32, num_layers=1)
+    from xiaoicesing_io_tpu.training.acoustic import build_acoustic, init_acoustic_state
+    from xiaoicesing_io_tpu.training.checkpoint import CheckpointManager
+    from xiaoicesing_io_tpu.utils.phonemes import PhonemeDictionary
+    from xiaoicesing_io_tpu.utils.text_encoder import TokenTextEncoder
+
+    enc = TokenTextEncoder(PhonemeDictionary.load(DICT).phoneme_list)
+    model, core, normalizer = build_acoustic(cfg, enc.vocab_size)
+    state = init_acoustic_state(model, cfg, enc.vocab_size, jax.random.PRNGKey(0))
+    CheckpointManager(wd, category="acoustic").save(state, step=10)
+    with open(wd / "spk_map.json", "w") as f:
+        json.dump({"alice": 0, "bob": 1}, f)
+
+    from xiaoicesing_io_tpu.deployment.export import export_acoustic
+    import yaml
+
+    out = export_acoustic(cfg, out_dir=str(tmp_path / "a"))
+    manifest = yaml.safe_load((out / "dsconfig.yaml").read_text())
+    assert manifest["acoustic_inputs"] == [
+        "tokens", "mel2ph", "f0", "energy", "key_shift", "speed", "spk_mix_embed",
+    ]
+    assert manifest["frozen"] == []
+
+    out2 = export_acoustic(
+        cfg, out_dir=str(tmp_path / "b"),
+        freeze_gender=0.2, freeze_velocity=1.0, freeze_spk="alice:0.6|bob:0.4",
+    )
+    manifest2 = yaml.safe_load((out2 / "dsconfig.yaml").read_text())
+    assert manifest2["acoustic_inputs"] == ["tokens", "mel2ph", "f0", "energy"]
+    assert manifest2["frozen"] == ["key_shift", "speed", "spk_mix_embed"]
+
+    # frozen graph runs with only the remaining inputs
+    from jax import export as jexport
+
+    exported = jexport.deserialize((out2 / "fs2_aux.stablehlo").read_bytes())
+    B, T_ph, T_f = 1, 64, 512
+    outs = exported.call(
+        np.zeros((B, T_ph), np.int32), np.zeros((B, T_f), np.int32),
+        np.full((B, T_f), 220.0, np.float32), np.zeros((B, T_f), np.float32),
+    )
+    assert np.asarray(outs[0]).shape == (B, T_f, cfg["hidden_size"])

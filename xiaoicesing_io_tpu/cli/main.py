@@ -268,12 +268,20 @@ _format_opt = click.option(
 @click.option("--exp", required=True)
 @click.option("--ckpt", type=int, required=False)
 @click.option("--out", required=False)
+@click.option("--freeze_gender", type=float, required=False,
+              help="Bake a static gender value [-1, 1] instead of a key_shift input")
+@click.option("--freeze_velocity", type=float, required=False,
+              help="Bake a static velocity instead of a speed input")
+@click.option("--freeze_spk", required=False,
+              help="Bake a static speaker mix, e.g. 'alice' or 'alice:0.6|bob:0.4'")
 @_format_opt
-def export_acoustic(exp, ckpt, out, fmt):
+def export_acoustic(exp, ckpt, out, freeze_gender, freeze_velocity, freeze_spk, fmt):
     from ..deployment.export import export_acoustic as _export
 
     cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
-    _export(cfg, out_dir=out, ckpt_steps=ckpt, fmt=fmt)
+    _export(cfg, out_dir=out, ckpt_steps=ckpt, fmt=fmt,
+            freeze_gender=freeze_gender, freeze_velocity=freeze_velocity,
+            freeze_spk=freeze_spk)
 
 
 @export.command("variance", help="Export variance model (partial graphs + manifest)")

@@ -91,8 +91,31 @@ def _write_attachments(cfg, out_dir: Path, encoder: TokenTextEncoder, params):
                 print(f"| export speaker embed: {name}.emb")
 
 
+def _static_spk_mix_embed(cfg, params, freeze_spk: str):
+    """Bake a static speaker mix into the graph (ref:
+    deployment/exporters/acoustic_exporter.py:57-79 ``--freeze_spk``)."""
+    from ..utils.spk_mix import parse_commandline_spk_mix
+
+    spk_map_path = Path(cfg["work_dir"]) / "spk_map.json"
+    with open(spk_map_path) as f:
+        spk_map = json.load(f)
+    mix = parse_commandline_spk_mix(freeze_spk)
+    p = params["params"]
+    holder = p.get("fs2", p)
+    table = np.asarray(holder["spk_embed"]["embedding"], np.float32)
+    emb = sum(w * table[spk_map[name]] for name, w in mix.items())
+    return jnp.asarray(emb, jnp.float32)[None, None]  # [1, 1, H]
+
+
 def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
-                    fmt: str = "stablehlo"):
+                    fmt: str = "stablehlo", freeze_gender: Optional[float] = None,
+                    freeze_velocity: Optional[float] = None,
+                    freeze_spk: Optional[str] = None):
+    """Gender (key-shift) / velocity (speed) / variance curves are exported
+    as graph inputs when the model embeds them, matching the reference's
+    exported input surface (deployment/modules/fastspeech2.py:43-108);
+    ``freeze_*`` bakes a constant curve / speaker mix in instead
+    (ref: acoustic_exporter.py:57-79)."""
     from ..models.toplevel import AcousticModel
     from ..training.acoustic import build_acoustic
     from ..training.checkpoint import load_params_for_inference
@@ -108,15 +131,49 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
 
     B, T_ph, T_f, M = 1, 64, 512, cfg["audio_num_mel_bins"]
     H = cfg.get("hidden_size", 256)
-    tokens = jnp.zeros((B, T_ph), jnp.int32)
-    mel2ph = jnp.zeros((B, T_f), jnp.int32)
-    f0 = jnp.full((B, T_f), 220.0, jnp.float32)
     use_spk = cfg.get("use_spk_id", False)
+    variance_inputs = [
+        v for v in ("energy", "breathiness", "voicing", "tension")
+        if cfg.get(f"use_{v}_embed", False)
+    ]
 
-    def fs2_aux(tokens, mel2ph, f0, spk_mix_embed=None):
+    # dynamic input surface: name -> example array
+    inputs = {
+        "tokens": jnp.zeros((B, T_ph), jnp.int32),
+        "mel2ph": jnp.zeros((B, T_f), jnp.int32),
+        "f0": jnp.full((B, T_f), 220.0, jnp.float32),
+    }
+    for v in variance_inputs:
+        inputs[v] = jnp.zeros((B, T_f), jnp.float32)
+    frozen = {}
+    if cfg.get("use_key_shift_embed", False):
+        if freeze_gender is not None:
+            shift_min, shift_max = cfg["augmentation_args"]["random_pitch_shifting"]["range"]
+            val = freeze_gender * (shift_max if freeze_gender >= 0 else abs(shift_min))
+            frozen["key_shift"] = jnp.full((B, 1), val, jnp.float32)
+        else:
+            inputs["key_shift"] = jnp.zeros((B, T_f), jnp.float32)
+    if cfg.get("use_speed_embed", False):
+        if freeze_velocity is not None:
+            frozen["speed"] = jnp.full((B, 1), float(freeze_velocity), jnp.float32)
+        else:
+            inputs["speed"] = jnp.ones((B, T_f), jnp.float32)
+    if use_spk:
+        if freeze_spk is not None:
+            frozen["spk_mix_embed"] = _static_spk_mix_embed(cfg, params, freeze_spk)
+        else:
+            # the editor supplies the (mixed) speaker embedding as an input,
+            # like the reference's exported spk_embed input
+            inputs["spk_mix_embed"] = jnp.zeros((B, 1, H), jnp.float32)
+    names = list(inputs)
+
+    def fs2_aux(*args):
+        kw = dict(zip(names, args))
+        kw.update(frozen)
+        variances = {v: kw.pop(v) for v in variance_inputs}
         cond = model.apply(
-            params, tokens, mel2ph, f0, spk_mix_embed=spk_mix_embed,
-            method=AcousticModel.condition,
+            params, kw.pop("tokens"), kw.pop("mel2ph"), kw.pop("f0"),
+            variances=variances, **kw, method=AcousticModel.condition,
         )
         aux = (
             model.apply(params, cond, method=AcousticModel.aux_out)
@@ -124,12 +181,7 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         )
         return (cond, aux) if aux is not None else cond
 
-    # the editor supplies the (mixed) speaker embedding as an input, like the
-    # reference's exported spk_embed input (deployment/modules/fastspeech2.py)
-    fs2_args = (tokens, mel2ph, f0)
-    if use_spk:
-        fs2_args = fs2_args + (jnp.zeros((B, 1, H), jnp.float32),)
-    _export_fn(fs2_aux, fs2_args, out, "fs2_aux", fmt)
+    _export_fn(fs2_aux, tuple(inputs.values()), out, "fs2_aux", fmt)
 
     x = jnp.zeros((B, 1, T_f, M), jnp.float32)
     t = jnp.zeros((B,), jnp.float32)
@@ -145,6 +197,8 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         "diffusion_type": cfg.get("diffusion_type", "ddpm"),
         "phonemes": "phonemes.txt",
         "acoustic": f"fs2_aux.{fmt}",
+        "acoustic_inputs": names,
+        "frozen": sorted(frozen),
         "diffusion": f"diffusion_step.{fmt}",
         "vocoder": cfg.get("vocoder", "NsfHifiGAN"),
         "sample_rate": cfg["audio_sample_rate"],
