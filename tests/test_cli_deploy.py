@@ -206,3 +206,62 @@ def test_export_acoustic_input_surface_and_freeze(tmp_path):
         np.full((B, T_f), 220.0, np.float32), np.zeros((B, T_f), np.float32),
     )
     assert np.asarray(outs[0]).shape == (B, T_f, cfg["hidden_size"])
+
+
+def test_export_variance_graphs(tmp_path):
+    wd = tmp_path / "exp_var"
+    wd.mkdir()
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/variance.yaml"
+    )
+    cfg.update(
+        work_dir=str(wd), dictionary=str(DICT), exp_name="export_var",
+        enc_layers=1, predict_dur=True, predict_pitch=True,
+        predict_energy=True, predict_breathiness=True,
+    )
+    cfg["dur_prediction_args"].update(hidden_size=32, num_layers=1)
+    cfg["pitch_prediction_args"].update(repeat_bins=8)
+    cfg["pitch_prediction_args"]["backbone_args"].update(num_layers=1, num_channels=16)
+    cfg["variances_prediction_args"].update(total_repeat_bins=8)
+    cfg["variances_prediction_args"]["backbone_args"].update(num_layers=1, num_channels=16)
+
+    from xiaoicesing_io_tpu.training.checkpoint import CheckpointManager
+    from xiaoicesing_io_tpu.training.variance import build_variance, init_variance_state
+    from xiaoicesing_io_tpu.utils.phonemes import PhonemeDictionary
+    from xiaoicesing_io_tpu.utils.text_encoder import TokenTextEncoder
+
+    enc = TokenTextEncoder(PhonemeDictionary.load(DICT).phoneme_list)
+    model, core, normalizers = build_variance(cfg, enc.vocab_size)
+    state = init_variance_state(model, cfg, enc.vocab_size, jax.random.PRNGKey(0))
+    CheckpointManager(wd, category="variance").save(state, step=10)
+
+    from xiaoicesing_io_tpu.deployment.export import export_variance
+    import yaml
+
+    out = export_variance(cfg, out_dir=str(tmp_path / "v"))
+    manifest = yaml.safe_load((out / "dsconfig.yaml").read_text())
+    for g in ("linguistic", "frame_condition", "pitch_pre", "pitch",
+              "variance_pre", "variance"):
+        assert g in manifest["graphs"], g
+        assert (out / manifest["graphs"][g]).exists(), g
+    assert manifest["pitch_post"]["repeat_bins"] == 8
+    assert set(manifest["variance_post"]["ranges"]) == {"energy", "breathiness"}
+
+    # chain frame_condition -> pitch_pre -> pitch_step on the exported graphs
+    from jax import export as jexport
+
+    B, T_ph, T_f, T_n, H = 1, 64, 512, 32, cfg["hidden_size"]
+    fc = jexport.deserialize((out / "frame_condition.stablehlo").read_bytes())
+    cond = fc.call(np.zeros((B, T_ph, H), np.float32), np.ones((B, T_f), np.int32))
+    pp = jexport.deserialize((out / "pitch_pre.stablehlo").read_bytes())
+    pcond = pp.call(
+        np.asarray(cond), np.ones((B, T_f), np.int32),
+        np.full((B, T_f), 60.0, np.float32), np.ones((B, T_f), np.float32),
+        np.full((B, T_n), 60.0, np.float32), np.zeros((B, T_n), bool),
+        np.ones((B, T_n), np.int32), np.zeros((B, T_n), np.int32),
+        np.ones((B, T_f), np.int32),
+    )
+    ps = jexport.deserialize((out / "pitch_step.stablehlo").read_bytes())
+    y = ps.call(np.zeros((B, 1, T_f, 8), np.float32), np.zeros((B,), np.float32),
+                np.asarray(pcond))
+    assert np.asarray(y).shape == (B, 1, T_f, 8)

@@ -251,29 +251,79 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
 
     _export_fn(linguistic, (tokens, midi, ph2word, ph_dur), out, "linguistic_dur", fmt)
 
-    graphs = {"linguistic": f"linguistic_dur.{fmt}"}
+    mel2ph = jnp.zeros((B, T_f), jnp.int32)
+    enc_out = jnp.zeros((B, T_ph, H), jnp.float32)
+    cond = jnp.zeros((B, T_f, H), jnp.float32)
+
+    # frame-level condition builder (gather by mel2ph + spk), the stage
+    # between the linguistic encoder and either predictor branch
+    def frame_cond(encoder_out, mel2ph):
+        return model.apply(params, encoder_out, mel2ph,
+                           method=VarianceModel.frame_condition)
+
+    _export_fn(frame_cond, (enc_out, mel2ph), out, "frame_condition", fmt)
+
+    graphs = {
+        "linguistic": f"linguistic_dur.{fmt}",
+        "frame_condition": f"frame_condition.{fmt}",
+    }
     if model.predict_pitch:
         pargs = cfg.get("pitch_prediction_args", {})
         xp = jnp.zeros((B, 1, T_f, pargs.get("repeat_bins", 64)), jnp.float32)
         t = jnp.zeros((B,), jnp.float32)
-        cond = jnp.zeros((B, T_f, H), jnp.float32)
+
+        # pre-predictor: base_pitch/retake(+melody encoder) conditioning
+        # (ref: deployment/modules/toplevel.py:300-392 view_as_pitch_pre)
+        base_pitch = jnp.full((B, T_f), 60.0, jnp.float32)
+        note_midi = jnp.full((B, T_n), 60.0, jnp.float32)
+        note_rest = jnp.zeros((B, T_n), bool)
+        note_dur = jnp.ones((B, T_n), jnp.int32)
+        note_glide = jnp.zeros((B, T_n), jnp.int32)
+        mel2note = jnp.ones((B, T_f), jnp.int32)
+        expr = jnp.ones((B, T_f), jnp.float32)
+
+        def pitch_pre(condition, mel2ph, base_pitch, expr, note_midi, note_rest,
+                      note_dur, note_glide, mel2note):
+            return model.apply(
+                params, condition, mel2ph, base_pitch, pitch_expr=expr,
+                note_midi=note_midi, note_rest=note_rest, note_dur=note_dur,
+                note_glide=note_glide, mel2note=mel2note,
+                method=VarianceModel.pitch_condition,
+            )
+
+        _export_fn(
+            pitch_pre,
+            (cond, mel2ph, base_pitch, expr, note_midi, note_rest, note_dur,
+             note_glide, mel2note),
+            out, "pitch_pre", fmt,
+        )
 
         def pitch_step(x, t, cond):
             return model.apply(params, x, t, cond, method=VarianceModel.denoise_pitch)
 
         _export_fn(pitch_step, (xp, t, cond), out, "pitch_step", fmt)
+        graphs["pitch_pre"] = f"pitch_pre.{fmt}"
         graphs["pitch"] = f"pitch_step.{fmt}"
     if model.predict_variances:
         vargs = cfg.get("variances_prediction_args", {})
         n = len(model.variance_prediction_list)
         xv = jnp.zeros((B, n, T_f, vargs.get("total_repeat_bins", 48) // n), jnp.float32)
         t = jnp.zeros((B,), jnp.float32)
-        cond = jnp.zeros((B, T_f, H), jnp.float32)
+
+        # pre-predictor: pitch embedding into the condition
+        pitch = jnp.full((B, T_f), 60.0, jnp.float32)
+
+        def variance_pre(condition, pitch):
+            return model.apply(params, condition, pitch, {},
+                               method=VarianceModel.variance_condition)
+
+        _export_fn(variance_pre, (cond, pitch), out, "variance_pre", fmt)
 
         def var_step(x, t, cond):
             return model.apply(params, x, t, cond, method=VarianceModel.denoise_variance)
 
         _export_fn(var_step, (xv, t, cond), out, "variance_step", fmt)
+        graphs["variance_pre"] = f"variance_pre.{fmt}"
         graphs["variance"] = f"variance_step.{fmt}"
 
     manifest = {
@@ -287,6 +337,21 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         "predict_pitch": cfg.get("predict_pitch", True),
         "predict_variances": list(model.variance_prediction_list),
         "use_melody_encoder": cfg.get("use_melody_encoder", False),
+        # post-predictor denormalization: mean over repeat bins, then map
+        # [-1, 1] back to [norm_min, norm_max] (see models/diffusion/core.py)
+        "pitch_post": {
+            k: cfg.get("pitch_prediction_args", {}).get(k)
+            for k in ("pitd_norm_min", "pitd_norm_max", "pitd_clip_min",
+                      "pitd_clip_max", "repeat_bins")
+        } if model.predict_pitch else None,
+        "variance_post": {
+            "total_repeat_bins": cfg.get("variances_prediction_args", {}).get("total_repeat_bins"),
+            "ranges": {
+                v: [cfg.get(f"{v}_db_min" if v != "tension" else "tension_logit_min"),
+                    cfg.get(f"{v}_db_max" if v != "tension" else "tension_logit_max")]
+                for v in model.variance_prediction_list
+            },
+        } if model.predict_variances else None,
     }
     _write_attachments(cfg, out, encoder, params)
     with open(out / "dsconfig.yaml", "w") as f:
