@@ -143,6 +143,8 @@ def _trans_key(params, key: int):
 @click.option("--title", required=False)
 @click.option("--num", type=int, default=1)
 @click.option("--key", type=int, default=0, help="Transpose key in semitones")
+@click.option("--gender", type=float, required=False,
+              help="Static formant shifting (gender) in [-1, 1]")
 @click.option("--seed", type=int, default=-1)
 @click.option("--depth", type=float, required=False)
 @click.option("--steps", type=int, required=False)
@@ -150,11 +152,16 @@ def _trans_key(params, key: int):
 @click.option("--dp", is_flag=True,
               help="Shard segment batches over all devices (serving mode; "
                    "per-segment seeds are replaced by one key per batch group)")
-def acoustic(proj, exp, ckpt, spk, out, title, num, key, seed, depth, steps, mel, dp):
+def acoustic(proj, exp, ckpt, spk, out, title, num, key, gender, seed, depth,
+             steps, mel, dp):
     exp = _find_exp(exp)
     name, params = _load_ds(proj)
     if key != 0:
         params = _trans_key(params, key)
+    if gender is not None:
+        assert -1.0 <= gender <= 1.0, "--gender must be in [-1, 1]"
+        for seg in params:
+            seg["gender"] = gender
     cfg = load_config(None, exp_name=exp, infer=True)
     from ..compat import migrate_sampling_keys
 
@@ -180,14 +187,33 @@ def acoustic(proj, exp, ckpt, spk, out, title, num, key, seed, depth, steps, mel
 @click.option("--ckpt", type=int, required=False)
 @click.option("--predict", multiple=True,
               help="dur / pitch / energy / breathiness / voicing / tension")
+@click.option("--spk", required=False, help="Speaker mix, e.g. 'a|b:0.5'")
 @click.option("--out", required=False)
 @click.option("--title", required=False)
 @click.option("--num", type=int, default=1)
+@click.option("--key", type=int, default=0, help="Transpose key in semitones")
+@click.option("--expr", type=float, required=False,
+              help="Static expressiveness control in [0, 1] (pitch retake mix)")
 @click.option("--seed", type=int, default=-1)
-def variance(proj, exp, ckpt, predict, out, title, num, seed):
+@click.option("--steps", type=int, required=False)
+def variance(proj, exp, ckpt, predict, spk, out, title, num, key, expr, seed, steps):
     exp = _find_exp(exp)
     name, params = _load_ds(proj)
+    if key != 0:
+        params = _trans_key(params, key)
+    if expr is not None:
+        assert 0.0 <= expr <= 1.0, "--expr must be in [0, 1]"
+        for seg in params:
+            seg["expr"] = expr
     cfg = load_config(None, exp_name=exp, infer=True)
+    from ..compat import migrate_sampling_keys
+
+    migrate_sampling_keys(cfg, steps=steps)
+    if spk:
+        from ..utils.spk_mix import parse_commandline_spk_mix
+
+        for seg in params:
+            seg["spk_mix"] = parse_commandline_spk_mix(spk)
     from ..inference.variance import DiffSingerVarianceInfer
 
     runner = DiffSingerVarianceInfer(cfg, predictions=set(predict), ckpt_steps=ckpt)
