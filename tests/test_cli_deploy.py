@@ -265,3 +265,39 @@ def test_export_variance_graphs(tmp_path):
     y = ps.call(np.zeros((B, 1, T_f, 8), np.float32), np.zeros((B,), np.float32),
                 np.asarray(pcond))
     assert np.asarray(y).shape == (B, 1, T_f, 8)
+
+    # frozen expr/glide variant drops those inputs
+    out2 = export_variance(cfg, out_dir=str(tmp_path / "v2"),
+                           freeze_expr=0.8, freeze_glide=True)
+    m2 = yaml.safe_load((out2 / "dsconfig.yaml").read_text())
+    assert m2["frozen"] == ["expr", "glide"]
+    pp2 = jexport.deserialize((out2 / "pitch_pre.stablehlo").read_bytes())
+    pcond2 = pp2.call(
+        np.asarray(cond), np.ones((B, T_f), np.int32),
+        np.full((B, T_f), 60.0, np.float32),
+        np.full((B, T_n), 60.0, np.float32), np.zeros((B, T_n), bool),
+        np.ones((B, T_n), np.int32), np.ones((B, T_f), np.int32),
+    )
+    assert np.asarray(pcond2).shape == np.asarray(pcond).shape
+
+
+def test_export_spk_mix_attachments_and_freeze(tiny_ckpt, tmp_path):
+    cfg, wd = tiny_ckpt
+    from xiaoicesing_io_tpu.deployment.export import export_acoustic
+
+    out = export_acoustic(
+        cfg, out_dir=str(tmp_path / "mix"),
+        export_spk=["duet=alice:0.6|bob:0.4"], freeze_spk="alice",
+    )
+    emb = np.frombuffer((out / "duet.emb").read_bytes(), np.float32)
+    from xiaoicesing_io_tpu.training.checkpoint import load_params_for_inference
+
+    params = load_params_for_inference(cfg["work_dir"], cfg, None)
+    table = np.asarray(params["params"]["fs2"]["spk_embed"]["embedding"], np.float32)
+    np.testing.assert_allclose(emb, 0.6 * table[0] + 0.4 * table[1], rtol=1e-6)
+    # frozen spk -> graph has only tokens/mel2ph/f0 inputs
+    import yaml
+
+    manifest = yaml.safe_load((out / "dsconfig.yaml").read_text())
+    assert "spk_mix_embed" not in manifest["acoustic_inputs"]
+    assert "spk_mix_embed" in manifest["frozen"]

@@ -301,25 +301,40 @@ _format_opt = click.option(
 @click.option("--freeze_spk", required=False,
               help="Bake a static speaker mix, e.g. 'alice' or 'alice:0.6|bob:0.4'")
 @_format_opt
-def export_acoustic(exp, ckpt, out, freeze_gender, freeze_velocity, freeze_spk, fmt):
+@click.option("--export_spk", multiple=True,
+              help="Write named speaker-mix .emb attachments, e.g. "
+                   "'duet=alice:0.6|bob:0.4' (repeatable)")
+def export_acoustic(exp, ckpt, out, freeze_gender, freeze_velocity, freeze_spk,
+                    export_spk, fmt):
     from ..deployment.export import export_acoustic as _export
 
     cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
     _export(cfg, out_dir=out, ckpt_steps=ckpt, fmt=fmt,
             freeze_gender=freeze_gender, freeze_velocity=freeze_velocity,
-            freeze_spk=freeze_spk)
+            freeze_spk=freeze_spk, export_spk=list(export_spk))
 
 
 @export.command("variance", help="Export variance model (partial graphs + manifest)")
 @click.option("--exp", required=True)
 @click.option("--ckpt", type=int, required=False)
 @click.option("--out", required=False)
+@click.option("--freeze_expr", type=float, required=False,
+              help="Bake a static expressiveness factor instead of an input")
+@click.option("--freeze_glide", is_flag=True,
+              help="Bake the default (none) glide embedding; drops the note_glide input")
+@click.option("--freeze_spk", required=False,
+              help="Bake a static speaker mix, e.g. 'alice:0.6|bob:0.4'")
+@click.option("--export_spk", multiple=True,
+              help="Write named speaker-mix .emb attachments (repeatable)")
 @_format_opt
-def export_variance(exp, ckpt, out, fmt):
+def export_variance(exp, ckpt, out, freeze_expr, freeze_glide, freeze_spk,
+                    export_spk, fmt):
     from ..deployment.export import export_variance as _export
 
     cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
-    _export(cfg, out_dir=out, ckpt_steps=ckpt, fmt=fmt)
+    _export(cfg, out_dir=out, ckpt_steps=ckpt, fmt=fmt, freeze_expr=freeze_expr,
+            freeze_glide=freeze_glide, freeze_spk=freeze_spk,
+            export_spk=list(export_spk))
 
 
 @export.command("nsf-hifigan", help="Export NSF-HiFiGAN vocoder graph + vocoder.yaml")

@@ -91,26 +91,42 @@ def _write_attachments(cfg, out_dir: Path, encoder: TokenTextEncoder, params):
                 print(f"| export speaker embed: {name}.emb")
 
 
-def _static_spk_mix_embed(cfg, params, freeze_spk: str):
-    """Bake a static speaker mix into the graph (ref:
-    deployment/exporters/acoustic_exporter.py:57-79 ``--freeze_spk``)."""
+def _spk_mix_vector(cfg, params, mixspec: str) -> np.ndarray:
+    """Resolve a 'name[:w]|name[:w]' mix to one embedding vector [H]."""
     from ..utils.spk_mix import parse_commandline_spk_mix
 
     spk_map_path = Path(cfg["work_dir"]) / "spk_map.json"
     with open(spk_map_path) as f:
         spk_map = json.load(f)
-    mix = parse_commandline_spk_mix(freeze_spk)
+    mix = parse_commandline_spk_mix(mixspec)
     p = params["params"]
     holder = p.get("fs2", p)
     table = np.asarray(holder["spk_embed"]["embedding"], np.float32)
-    emb = sum(w * table[spk_map[name]] for name, w in mix.items())
-    return jnp.asarray(emb, jnp.float32)[None, None]  # [1, 1, H]
+    return sum(w * table[spk_map[name]] for name, w in mix.items())
+
+
+def _static_spk_mix_embed(cfg, params, freeze_spk: str):
+    """Bake a static speaker mix into the graph (ref:
+    deployment/exporters/acoustic_exporter.py:57-79 ``--freeze_spk``)."""
+    return jnp.asarray(_spk_mix_vector(cfg, params, freeze_spk),
+                       jnp.float32)[None, None]  # [1, 1, H]
+
+
+def _export_spk_attachments(cfg, params, out: Path, export_spk):
+    """Write named speaker-mix .emb attachments for ``--export_spk``
+    'key=mixspec' entries (ref: acoustic_exporter.py:108-158)."""
+    for entry in export_spk or ():
+        key, _, mixspec = entry.partition("=")
+        vec = _spk_mix_vector(cfg, params, mixspec or key)
+        (out / f"{key}.emb").write_bytes(vec.astype(np.float32).tobytes())
+        print(f"| export speaker mix embed: {key}.emb")
 
 
 def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
                     fmt: str = "stablehlo", freeze_gender: Optional[float] = None,
                     freeze_velocity: Optional[float] = None,
-                    freeze_spk: Optional[str] = None):
+                    freeze_spk: Optional[str] = None,
+                    export_spk: Optional[list] = None):
     """Gender (key-shift) / velocity (speed) / variance curves are exported
     as graph inputs when the model embeds them, matching the reference's
     exported input surface (deployment/modules/fastspeech2.py:43-108);
@@ -182,6 +198,8 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         return (cond, aux) if aux is not None else cond
 
     _export_fn(fs2_aux, tuple(inputs.values()), out, "fs2_aux", fmt)
+    if use_spk:
+        _export_spk_attachments(cfg, params, out, export_spk)
 
     x = jnp.zeros((B, 1, T_f, M), jnp.float32)
     t = jnp.zeros((B,), jnp.float32)
@@ -221,7 +239,13 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
 
 
 def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
-                    fmt: str = "stablehlo"):
+                    fmt: str = "stablehlo", freeze_expr: Optional[float] = None,
+                    freeze_glide: bool = False, freeze_spk: Optional[str] = None,
+                    export_spk: Optional[list] = None):
+    """``freeze_expr``/``freeze_glide``/``freeze_spk`` bake the
+    expressiveness factor, the 'no glide' embedding, or a static speaker mix
+    into the graphs instead of exposing them as inputs (ref:
+    scripts/export.py variance options + deployment/modules/toplevel.py)."""
     from ..models.toplevel import VarianceModel
     from ..training.checkpoint import load_params_for_inference
     from ..training.variance import build_variance
@@ -237,19 +261,32 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
 
     B, T_ph, T_f, T_n = 1, 64, 512, 32
     H = cfg.get("hidden_size", 256)
+    use_spk = cfg.get("use_spk_id", False)
+    frozen = []
+    spk_const = None
+    if use_spk and freeze_spk is not None:
+        spk_const = _static_spk_mix_embed(cfg, params, freeze_spk)
+        frozen.append("spk_mix_embed")
     tokens = jnp.zeros((B, T_ph), jnp.int32)
     midi = jnp.zeros((B, T_ph), jnp.int32)
     ph2word = jnp.ones((B, T_ph), jnp.int32)
     ph_dur = jnp.ones((B, T_ph), jnp.int32)
+    spk_embed_in = jnp.zeros((B, 1, H), jnp.float32)
+    spk_input = use_spk and spk_const is None
 
-    def linguistic(tokens, midi, ph2word, ph_dur):
+    def linguistic(tokens, midi, ph2word, ph_dur, ph_spk_mix_embed=None):
         enc, dur = model.apply(
             params, tokens, midi, ph2word, ph_dur=ph_dur, infer=True,
+            ph_spk_mix_embed=(spk_const if spk_const is not None
+                              else ph_spk_mix_embed),
             method=VarianceModel.encode,
         )
         return (enc, dur) if dur is not None else enc
 
-    _export_fn(linguistic, (tokens, midi, ph2word, ph_dur), out, "linguistic_dur", fmt)
+    ling_args = (tokens, midi, ph2word, ph_dur)
+    if spk_input:
+        ling_args = ling_args + (spk_embed_in,)
+    _export_fn(linguistic, ling_args, out, "linguistic_dur", fmt)
 
     mel2ph = jnp.zeros((B, T_f), jnp.int32)
     enc_out = jnp.zeros((B, T_ph, H), jnp.float32)
@@ -257,11 +294,19 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
 
     # frame-level condition builder (gather by mel2ph + spk), the stage
     # between the linguistic encoder and either predictor branch
-    def frame_cond(encoder_out, mel2ph):
-        return model.apply(params, encoder_out, mel2ph,
-                           method=VarianceModel.frame_condition)
+    def frame_cond(encoder_out, mel2ph, spk_mix_embed=None):
+        return model.apply(
+            params, encoder_out, mel2ph,
+            spk_mix_embed=spk_const if spk_const is not None else spk_mix_embed,
+            method=VarianceModel.frame_condition,
+        )
 
-    _export_fn(frame_cond, (enc_out, mel2ph), out, "frame_condition", fmt)
+    fc_args = (enc_out, mel2ph)
+    if spk_input:
+        fc_args = fc_args + (spk_embed_in,)
+    _export_fn(frame_cond, fc_args, out, "frame_condition", fmt)
+    if use_spk:
+        _export_spk_attachments(cfg, params, out, export_spk)
 
     graphs = {
         "linguistic": f"linguistic_dur.{fmt}",
@@ -282,21 +327,37 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         mel2note = jnp.ones((B, T_f), jnp.int32)
         expr = jnp.ones((B, T_f), jnp.float32)
 
-        def pitch_pre(condition, mel2ph, base_pitch, expr, note_midi, note_rest,
-                      note_dur, note_glide, mel2note):
+        pre_names = ["condition", "mel2ph", "base_pitch"]
+        pre_vals = [cond, mel2ph, base_pitch]
+        pre_frozen = {}
+        if freeze_expr is not None:
+            pre_frozen["pitch_expr"] = jnp.full((B, 1), float(freeze_expr),
+                                                jnp.float32)
+            frozen.append("expr")
+        else:
+            pre_names.append("pitch_expr")
+            pre_vals.append(expr)
+        pre_names += ["note_midi", "note_rest", "note_dur"]
+        pre_vals += [note_midi, note_rest, note_dur]
+        if freeze_glide:
+            pre_frozen["note_glide"] = note_glide  # all 'none' glide
+            frozen.append("glide")
+        else:
+            pre_names.append("note_glide")
+            pre_vals.append(note_glide)
+        pre_names.append("mel2note")
+        pre_vals.append(mel2note)
+
+        def pitch_pre(*args):
+            kw = dict(zip(pre_names, args))
+            kw.update(pre_frozen)
             return model.apply(
-                params, condition, mel2ph, base_pitch, pitch_expr=expr,
-                note_midi=note_midi, note_rest=note_rest, note_dur=note_dur,
-                note_glide=note_glide, mel2note=mel2note,
+                params, kw.pop("condition"), kw.pop("mel2ph"),
+                kw.pop("base_pitch"), **kw,
                 method=VarianceModel.pitch_condition,
             )
 
-        _export_fn(
-            pitch_pre,
-            (cond, mel2ph, base_pitch, expr, note_midi, note_rest, note_dur,
-             note_glide, mel2note),
-            out, "pitch_pre", fmt,
-        )
+        _export_fn(pitch_pre, tuple(pre_vals), out, "pitch_pre", fmt)
 
         def pitch_step(x, t, cond):
             return model.apply(params, x, t, cond, method=VarianceModel.denoise_pitch)
@@ -337,6 +398,7 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         "predict_pitch": cfg.get("predict_pitch", True),
         "predict_variances": list(model.variance_prediction_list),
         "use_melody_encoder": cfg.get("use_melody_encoder", False),
+        "frozen": sorted(frozen),
         # post-predictor denormalization: mean over repeat bins, then map
         # [-1, 1] back to [norm_min, norm_max] (see models/diffusion/core.py)
         "pitch_post": {
