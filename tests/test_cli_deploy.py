@@ -301,3 +301,13 @@ def test_export_spk_mix_attachments_and_freeze(tiny_ckpt, tmp_path):
     manifest = yaml.safe_load((out / "dsconfig.yaml").read_text())
     assert "spk_mix_embed" not in manifest["acoustic_inputs"]
     assert "spk_mix_embed" in manifest["frozen"]
+
+
+def test_modify_spk_embed_retain():
+    from xiaoicesing_io_tpu.deployment.drop_spk import modify_spk_embed
+
+    table = np.arange(12, dtype=np.float32).reshape(4, 3)
+    out = modify_spk_embed(table, retain_ids={1}, fill="zeros")
+    assert np.allclose(out[1], table[1])
+    for i in (0, 2, 3):
+        assert np.allclose(out[i], 0)

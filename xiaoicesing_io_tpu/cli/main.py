@@ -226,9 +226,13 @@ def variance(proj, exp, ckpt, predict, spk, out, title, num, key, expr, seed, st
 @click.argument("mel_path")
 @click.option("--exp", required=False)
 @click.option("--config", required=False)
+@click.option("--cls", "vocoder_cls", required=False,
+              help="Vocoder class override (e.g. NsfHifiGAN, DDSP)")
+@click.option("--ckpt", "vocoder_ckpt", required=False,
+              help="Vocoder checkpoint path override")
 @click.option("--out", required=False)
 @click.option("--title", required=False)
-def vocode(mel_path, exp, config, out, title):
+def vocode(mel_path, exp, config, vocoder_cls, vocoder_ckpt, out, title):
     import numpy as np
 
     from ..utils.curves import cross_fade
@@ -238,9 +242,11 @@ def vocode(mel_path, exp, config, out, title):
         cfg = load_config(None, exp_name=_find_exp(exp), infer=True)
     else:
         cfg = load_config(config, infer=True)
-    from ..models.vocoders.wrapper import NsfHifiGAN
+    from ..models.vocoders import get_vocoder_cls
+    from ..models.vocoders import wrapper  # noqa: F401 — registers classes
 
-    vocoder = NsfHifiGAN(cfg)
+    cls = get_vocoder_cls(vocoder_cls or cfg.get("vocoder", "NsfHifiGAN"))
+    vocoder = cls(cfg, model_path=vocoder_ckpt)
     data = np.load(mel_path)
     segs = {}
     for k in data.files:
@@ -272,10 +278,12 @@ def vocode(mel_path, exp, config, out, title):
 @click.option("--spk", multiple=True, required=True, help="Speaker names or ids to drop")
 @click.option("--fill", type=click.Choice(["zeros", "random", "mean", "cyclic"]),
               default="zeros")
-def drop_spk(exp, spk, fill):
+@click.option("--retain", is_flag=True,
+              help="Invert: KEEP the listed speakers and scrub all others")
+def drop_spk(exp, spk, fill, retain):
     from ..deployment.drop_spk import drop_speakers
 
-    drop_speakers(_find_exp(exp), list(spk), fill)
+    drop_speakers(_find_exp(exp), list(spk), fill, retain=retain)
 
 
 @cli.group(help="Export models for deployment")

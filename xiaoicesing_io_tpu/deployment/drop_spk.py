@@ -49,9 +49,11 @@ def modify_spk_embed(
 
 
 def drop_speakers(exp: str, spk: List[str], fill: str = "zeros",
-                  work_dir_root: str = "checkpoints"):
+                  work_dir_root: str = "checkpoints", retain: bool = False):
     """Scrub speakers (by name via spk_map, or numeric id) in the latest
-    checkpoint of an experiment, in place."""
+    checkpoint of an experiment, in place.  ``retain=True`` inverts the
+    selection: the listed speakers are KEPT and all others scrubbed
+    (ref: scripts/drop_spk.py --retain)."""
     import json
 
     from ..training.checkpoint import latest_checkpoint, _checkpointer
@@ -63,9 +65,10 @@ def drop_speakers(exp: str, spk: List[str], fill: str = "zeros",
     if (work_dir / "spk_map.json").exists():
         with open(work_dir / "spk_map.json") as f:
             spk_map = json.load(f)
-    drop_ids = {
+    ids = {
         spk_map[s] if s in spk_map else int(s) for s in spk
     }
+    drop_ids = None if retain else ids
     ckptr = _checkpointer()
     restored = ckptr.restore(Path(path).resolve())
     params = restored["params"]
@@ -74,6 +77,7 @@ def drop_speakers(exp: str, spk: List[str], fill: str = "zeros",
         if "spk_embed" in holder and "embedding" in holder["spk_embed"]:
             holder["spk_embed"]["embedding"] = modify_spk_embed(
                 np.asarray(holder["spk_embed"]["embedding"]), drop_ids=drop_ids,
+                retain_ids=ids if retain else None,
                 fill=fill,
             )
             changed = True
