@@ -303,6 +303,24 @@ def test_export_spk_mix_attachments_and_freeze(tiny_ckpt, tmp_path):
     assert "spk_mix_embed" in manifest["frozen"]
 
 
+def test_drop_speakers_retain_mode(tiny_ckpt):
+    """--retain must complete without error and keep only the listed rows
+    (regression: TypeError on the final log line)."""
+    cfg, wd = tiny_ckpt
+    from xiaoicesing_io_tpu.deployment.drop_spk import drop_speakers
+    from xiaoicesing_io_tpu.training.checkpoint import (
+        _checkpointer,
+        latest_checkpoint,
+    )
+
+    drop_speakers(wd.name, ["alice"], fill="zeros",
+                  work_dir_root=str(wd.parent), retain=True)
+    restored = _checkpointer().restore(Path(latest_checkpoint(wd)).resolve())
+    table = np.asarray(restored["params"]["fs2"]["spk_embed"]["embedding"])
+    assert not np.allclose(table[0], 0)  # alice kept
+    assert np.allclose(table[1], 0)      # bob scrubbed
+
+
 def test_modify_spk_embed_retain():
     from xiaoicesing_io_tpu.deployment.drop_spk import modify_spk_embed
 

@@ -212,8 +212,11 @@ def variance(proj, exp, ckpt, predict, spk, out, title, num, key, expr, seed, st
     if spk:
         from ..utils.spk_mix import parse_commandline_spk_mix
 
+        mix = parse_commandline_spk_mix(spk)
         for seg in params:
-            seg["spk_mix"] = parse_commandline_spk_mix(spk)
+            # both the token-level (encoder/dur/pitch) and frame-level mixes
+            # (ref: scripts/infer.py:351 sets ph_spk_mix AND spk_mix)
+            seg["ph_spk_mix"] = seg["spk_mix"] = mix
     from ..inference.variance import DiffSingerVarianceInfer
 
     runner = DiffSingerVarianceInfer(cfg, predictions=set(predict), ckpt_steps=ckpt)

@@ -92,4 +92,5 @@ def drop_speakers(exp: str, spk: List[str], fill: str = "zeros",
     ckptr.wait_until_finished()
     if meta is not None:
         (path / "meta.json").write_text(meta)
-    print(f"| scrubbed speakers {sorted(drop_ids)} in {path}")
+    what = f"all speakers except {sorted(ids)}" if retain else f"speakers {sorted(ids)}"
+    print(f"| scrubbed {what} in {path}")

@@ -91,14 +91,19 @@ def _write_attachments(cfg, out_dir: Path, encoder: TokenTextEncoder, params):
                 print(f"| export speaker embed: {name}.emb")
 
 
-def _spk_mix_vector(cfg, params, mixspec: str) -> np.ndarray:
+def _load_spk_map(cfg) -> dict:
+    with open(Path(cfg["work_dir"]) / "spk_map.json") as f:
+        return json.load(f)
+
+
+def _spk_mix_vector(cfg, params, mixspec: str, spk_map=None) -> np.ndarray:
     """Resolve a 'name[:w]|name[:w]' mix to one embedding vector [H]."""
     from ..utils.spk_mix import parse_commandline_spk_mix
 
-    spk_map_path = Path(cfg["work_dir"]) / "spk_map.json"
-    with open(spk_map_path) as f:
-        spk_map = json.load(f)
+    spk_map = spk_map if spk_map is not None else _load_spk_map(cfg)
     mix = parse_commandline_spk_mix(mixspec)
+    unknown = sorted(set(mix) - set(spk_map))
+    assert not unknown, f"unknown speaker(s) {unknown}; available: {sorted(spk_map)}"
     p = params["params"]
     holder = p.get("fs2", p)
     table = np.asarray(holder["spk_embed"]["embedding"], np.float32)
@@ -115,9 +120,12 @@ def _static_spk_mix_embed(cfg, params, freeze_spk: str):
 def _export_spk_attachments(cfg, params, out: Path, export_spk):
     """Write named speaker-mix .emb attachments for ``--export_spk``
     'key=mixspec' entries (ref: acoustic_exporter.py:108-158)."""
-    for entry in export_spk or ():
+    if not export_spk:
+        return
+    spk_map = _load_spk_map(cfg)
+    for entry in export_spk:
         key, _, mixspec = entry.partition("=")
-        vec = _spk_mix_vector(cfg, params, mixspec or key)
+        vec = _spk_mix_vector(cfg, params, mixspec or key, spk_map)
         (out / f"{key}.emb").write_bytes(vec.astype(np.float32).tobytes())
         print(f"| export speaker mix embed: {key}.emb")
 

@@ -266,12 +266,15 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
 
             dp = DataParallelSynthesizer(self)
         for run in range(num_runs):
-            dp_mels = None
+            dp_mels = dp_wavs = None
             if dp is not None:
-                dp_mels, _ = dp.synthesize_mels(
+                dp_mels, dp_f0s = dp.synthesize_mels(
                     params, seed=(seed if seed >= 0 else run * 1000),
                     batches=batches,
                 )
+                if not save_mel:
+                    # bucket-batched vocoding over all segments at once
+                    dp_wavs = dp.vocode(dp_mels, dp_f0s)
             result = [] if save_mel else np.zeros(0)
             current_length = 0
             for i, (param, batch) in enumerate(zip(params, batches)):
@@ -287,7 +290,10 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                         "f0": np.asarray(batch["f0"])[0],
                     })
                 else:
-                    wav = self.run_vocoder(mel_pred, np.asarray(batch["f0"]))
+                    wav = (
+                        dp_wavs[i] if dp_wavs is not None
+                        else self.run_vocoder(mel_pred, np.asarray(batch["f0"]))
+                    )
                     silent = round(param.get("offset", 0) * sr) - current_length
                     if silent >= 0:
                         result = np.append(result, np.zeros(silent))

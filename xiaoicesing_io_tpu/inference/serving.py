@@ -55,8 +55,9 @@ class DataParallelSynthesizer:
 
     # -- core ---------------------------------------------------------------
 
-    def _fn_for(self, padded_len: int):
-        fn = self._jitted.get(padded_len)
+    def _fn(self):
+        # one jitted wrapper; jax.jit specializes per input shape internally
+        fn = self._jitted.get("fn")
         if fn is None:
             repl = replicated_sharding(self.mesh)
             data = batch_sharding(self.mesh)
@@ -65,7 +66,7 @@ class DataParallelSynthesizer:
                 in_shardings=(repl, data, repl),
                 out_shardings=data,
             )
-            self._jitted[padded_len] = fn
+            self._jitted["fn"] = fn
         return fn
 
     def synthesize_mels(
@@ -90,32 +91,46 @@ class DataParallelSynthesizer:
         mels: List[Optional[np.ndarray]] = [None] * len(segments)
         f0s: List[Optional[np.ndarray]] = [None] * len(segments)
         for padded_len, idxs in sorted(groups.items()):
-            for lo in range(0, len(idxs), cap):
+            for chunk_no, lo in enumerate(range(0, len(idxs), cap)):
                 chunk = idxs[lo : lo + cap]
                 pad_b = (-len(chunk)) % n_dev
                 stacked: Dict[str, jnp.ndarray] = {}
                 for k in batches[chunk[0]]:
+                    # time axis is padded to the bucket; length-1 axes are
+                    # broadcast dims (static speaker mixes) and must NOT be
+                    # padded — same rule as forward_model
                     rows = [
                         _pad_rows(np.asarray(batches[i][k]), padded_len)
                         if k not in ("tokens", "spk_mix_id")
+                        and np.asarray(batches[i][k]).ndim >= 2
+                        and np.asarray(batches[i][k]).shape[1] != 1
                         else np.asarray(batches[i][k])
                         for i in chunk
                     ]
-                    # ragged token axes within a group: pad to the widest
-                    wid = max(r.shape[1] for r in rows) if rows[0].ndim > 1 else 0
-                    rows = [
-                        np.pad(r, [(0, 0), (0, wid - r.shape[1])] + [(0, 0)] * (r.ndim - 2))
-                        if r.ndim > 1 and r.shape[1] != wid else r
-                        for r in rows
-                    ]
+                    # ragged token / speaker-mix axes within a group: pad
+                    # every non-batch axis to the widest (weight 0 / id 0)
+                    if rows[0].ndim > 1:
+                        wid = tuple(
+                            max(r.shape[d] for r in rows)
+                            for d in range(1, rows[0].ndim)
+                        )
+                        rows = [
+                            np.pad(r, [(0, 0)] + [
+                                (0, w - s) for w, s in zip(wid, r.shape[1:])
+                            ]) if tuple(r.shape[1:]) != wid else r
+                            for r in rows
+                        ]
                     cat = np.concatenate(rows, axis=0)
                     if pad_b:
                         cat = np.concatenate(
                             [cat, np.zeros((pad_b,) + cat.shape[1:], cat.dtype)], axis=0
                         )
                     stacked[k] = jnp.asarray(cat)
-                fn = self._fn_for(padded_len)
-                key = jax.random.PRNGKey((seed + padded_len) & 0xFFFFFFFF)
+                fn = self._fn()
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(seed & 0xFFFFFFFF),
+                    padded_len * 4099 + chunk_no,
+                )
                 out = np.asarray(fn(self.infer.params, stacked, key))
                 for row, i in enumerate(chunk):
                     mels[i] = out[row, : lengths[i]]
