@@ -152,3 +152,59 @@ def test_acoustic_training_multispeaker_reflow(tiny_binary, tmp_path):
     from xiaoicesing_io_tpu.training.checkpoint import list_checkpoints
 
     assert len(list_checkpoints(cfg["work_dir"])) >= 1
+
+
+def test_sigterm_checkpoints_and_exits_cleanly(tiny_binary, tmp_path):
+    """Preemption: SIGTERM mid-training saves a checkpoint at the next step
+    boundary and exits 0; resume continues from it."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root = tiny_binary
+    cfg = _acoustic_cfg(root, tmp_path / "exp_sig")
+    if not (root / "binary_ac/train.data").exists():
+        from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+        AcousticBinarizer(cfg).process()
+    cfg.update(max_updates=100000, val_check_interval=100000,
+               log_interval=1, num_sanity_val_steps=0)
+    import yaml as _yaml
+
+    cfg_path = tmp_path / "sig.yaml"
+    def _plain(x):
+        if isinstance(x, dict):
+            return {k: _plain(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [_plain(v) for v in x]
+        return x
+
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(_plain(dict(cfg)), f)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = Path(__file__).parent.parent
+    proc = subprocess.Popen(
+        [sys.executable, str(repo / "scripts/train.py"), "--config", str(cfg_path),
+         "--exp_name", "sig_test", "--work_dir", str(tmp_path / "ckpts")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=str(tmp_path),
+    )
+    # wait until it has taken at least one step (log_interval=1)
+    deadline = time.time() + 300
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if "| step " in line or time.time() > deadline:
+            break
+    proc.send_signal(signal.SIGTERM)
+    out_rest, _ = proc.communicate(timeout=300)
+    lines.append(out_rest)
+    out = "".join(lines)
+    assert proc.returncode == 0, out[-2000:]
+    assert "preempted" in out, out[-2000:]
+    from xiaoicesing_io_tpu.training.checkpoint import list_checkpoints
+
+    ckpts = list_checkpoints(tmp_path / "ckpts" / "sig_test")
+    assert len(ckpts) >= 1, out[-2000:]

@@ -168,6 +168,28 @@ class Trainer:
             print(f"| resumed from step {step}")
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
         key = jax.random.PRNGKey(self.cfg.get("seed", 0))
+
+        # graceful preemption: SIGTERM/SIGINT request a checkpoint at the next
+        # step boundary, then exit cleanly (resume picks up from that step).
+        # The reference only resumes from the last periodic checkpoint; on
+        # preemptible TPU pods saving on demand loses no progress.
+        import signal
+
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            if stop_requested["flag"]:  # second signal: let it kill us
+                raise KeyboardInterrupt
+            print(f"| received signal {signum}: checkpointing at next step "
+                  "boundary, then exiting")
+            stop_requested["flag"] = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread (tests)
+                pass
         # sanity validation before training (ref: num_sanity_val_steps)
         if step == 0 and self.cfg.get("num_sanity_val_steps", 1) > 0:
             print("| running sanity validation")
@@ -210,7 +232,19 @@ class Trainer:
                             jax.device_get(self.state), step,
                             extra_meta={"epoch": epoch},
                         )
+                if stop_requested["flag"]:
+                    break
+            if stop_requested["flag"]:
+                break
             epoch += 1
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+        if stop_requested["flag"]:
+            if self.rank == 0 and last_validated != step:
+                self.ckpt.save(jax.device_get(self.state), step,
+                               extra_meta={"epoch": epoch})
+            print(f"| training preempted at step {step} (checkpoint saved)")
+            return
         # final validation + checkpoint (skip if the last step just validated)
         if last_validated != step:
             self.validate(step, key)
