@@ -208,3 +208,87 @@ def test_sigterm_checkpoints_and_exits_cleanly(tiny_binary, tmp_path):
 
     ckpts = list_checkpoints(tmp_path / "ckpts" / "sig_test")
     assert len(ckpts) >= 1, out[-2000:]
+
+
+def test_lr_schedule_matches_torch_composites():
+    """Golden test: our schedule functions reproduce torch LR trajectories,
+    including the recursive SequentialLR / ChainedScheduler composites the
+    reference builds from config (utils/__init__.py:278-314)."""
+    import torch
+
+    from xiaoicesing_io_tpu.training.schedules import build_lr_schedule
+
+    base_lr = 0.1
+
+    def torch_traj(make_sched, n=40):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base_lr)
+        sched = make_sched(opt)
+        lrs = []
+        for _ in range(n):
+            lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            sched.step()
+        return np.array(lrs)
+
+    cases = [
+        (
+            {"scheduler_cls": "torch.optim.lr_scheduler.StepLR",
+             "step_size": 7, "gamma": 0.5},
+            lambda o: torch.optim.lr_scheduler.StepLR(o, step_size=7, gamma=0.5),
+        ),
+        (
+            {"scheduler_cls": "torch.optim.lr_scheduler.MultiStepLR",
+             "milestones": [5, 12, 30], "gamma": 0.3},
+            lambda o: torch.optim.lr_scheduler.MultiStepLR(
+                o, milestones=[5, 12, 30], gamma=0.3),
+        ),
+        (
+            {"scheduler_cls": "torch.optim.lr_scheduler.LinearLR",
+             "start_factor": 0.25, "total_iters": 10},
+            lambda o: torch.optim.lr_scheduler.LinearLR(
+                o, start_factor=0.25, total_iters=10),
+        ),
+        (
+            {"scheduler_cls": "torch.optim.lr_scheduler.ConstantLR",
+             "factor": 0.5, "total_iters": 8},
+            lambda o: torch.optim.lr_scheduler.ConstantLR(
+                o, factor=0.5, total_iters=8),
+        ),
+        (
+            # the exact composite example from the reference's BestPractices
+            {"scheduler_cls": "torch.optim.lr_scheduler.SequentialLR",
+             "schedulers": [
+                 {"cls": "torch.optim.lr_scheduler.ExponentialLR", "gamma": 0.5},
+                 {"cls": "torch.optim.lr_scheduler.LinearLR"},
+                 {"cls": "torch.optim.lr_scheduler.MultiStepLR",
+                  "milestones": [10, 20]},
+             ],
+             "milestones": [10, 20]},
+            lambda o: torch.optim.lr_scheduler.SequentialLR(
+                o,
+                [torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.5),
+                 torch.optim.lr_scheduler.LinearLR(o),
+                 torch.optim.lr_scheduler.MultiStepLR(o, milestones=[10, 20])],
+                milestones=[10, 20]),
+        ),
+        (
+            {"scheduler_cls": "torch.optim.lr_scheduler.ChainedScheduler",
+             "schedulers": [
+                 {"cls": "torch.optim.lr_scheduler.ConstantLR",
+                  "factor": 0.4, "total_iters": 6},
+                 {"cls": "torch.optim.lr_scheduler.ExponentialLR", "gamma": 0.9},
+             ]},
+            lambda o: torch.optim.lr_scheduler.ChainedScheduler(
+                [torch.optim.lr_scheduler.ConstantLR(o, factor=0.4, total_iters=6),
+                 torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.9)]),
+        ),
+    ]
+
+    for args, make_sched in cases:
+        want = torch_traj(make_sched)
+        sched = build_lr_schedule({"lr": base_lr}, args)
+        got = np.array([float(sched(k)) for k in range(len(want))])
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5,
+            err_msg=f"LR trajectory mismatch for {args['scheduler_cls']}")
