@@ -177,13 +177,22 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
             else:
                 x_src = None
 
+            backbone_type = cfg.get("backbone_type")
+            # wavenet defaults to XLA: the fused block kernel measured at
+            # parity (7.70 vs 7.67 ms/step at C=512 L=20, B=4xT=2048 — the
+            # [*,512]x[512,1024] matmuls are MXU-bound and XLA fuses the
+            # gating already; see docs/PerformanceNotes.md), so it is opt-in
             use_pallas = (
                 cfg.get("use_pallas_kernels", True)
-                and cfg.get("backbone_type") == "lynxnet"
-                and cfg.get("backbone_args", {}).get("activation", "PReLU") == "PReLU"
+                and (
+                    (backbone_type == "lynxnet"
+                     and cfg.get("backbone_args", {}).get("activation", "PReLU") == "PReLU")
+                    or (backbone_type == "wavenet"
+                        and cfg.get("wavenet_use_pallas", False))
+                )
                 and jax.default_backend() != "cpu"  # pallas needs TPU (or interpret)
             )
-            if use_pallas:
+            if use_pallas and backbone_type == "lynxnet":
                 from ..models.backbones.lynx_pallas import lynx_denoiser_apply
 
                 bargs = cfg.get("backbone_args", {})
@@ -194,6 +203,17 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                         num_layers=bargs.get("num_layers", 6),
                         strong_cond=bargs.get("strong_cond", False),
                         kernel_size=bargs.get("kernel_size", 31),
+                    ).astype(jnp.float32)
+            elif use_pallas and backbone_type == "wavenet":
+                from ..models.backbones.wavenet_pallas import wavenet_denoiser_apply
+
+                bargs = cfg.get("backbone_args", {})
+
+                def denoise_fn(x, t):
+                    return wavenet_denoiser_apply(
+                        params, x, t, cond,
+                        num_layers=bargs.get("num_layers", 20),
+                        dilation_cycle_length=bargs.get("dilation_cycle_length", 4),
                     ).astype(jnp.float32)
             else:
                 def denoise_fn(x, t):
