@@ -115,3 +115,64 @@ def test_coverage_error(tmp_path):
 
     with pytest.raises(BinarizationError):
         AcousticBinarizer(cfg).process()
+
+
+def test_augmentation_items(tmp_path):
+    """Pitch-shift / time-stretch augmentation fan-out: augmented copies are
+    written with key_shift/speed attrs and the documented f0 / duration
+    transforms (ref: augmentation/spec_stretch.py, acoustic_binarizer.py:211-331)."""
+    import random
+
+    random.seed(0)
+    root = _make_dataset(tmp_path / "ds_aug")
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
+    )
+    cfg.update(
+        raw_data_dir=[str(root / "raw")], binary_data_dir=str(root / "binary_aug"),
+        dictionary=str(root / "dictionary.txt"), speakers=["s"],
+        test_prefixes=["item1"],
+        use_key_shift_embed=True, use_speed_embed=True,
+    )
+    cfg["binarization_args"]["shuffle"] = False
+    cfg["augmentation_args"] = {
+        "random_pitch_shifting": {"enabled": True, "range": [-5.0, 5.0], "scale": 2.0},
+        "random_time_stretching": {"enabled": True, "range": [0.5, 2.0], "scale": 1.0},
+    }
+    from xiaoicesing_io_tpu.data.indexed_dataset import IndexedDataset
+    from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+    AcousticBinarizer(cfg).process()
+    ds = IndexedDataset(root / "binary_aug", "train")
+    # 1 raw train item (item2) + 2 pitch-shift copies; the time-stretch pass
+    # may either add its own copy or attach speed to an existing aug task
+    # (reference semantics: acoustic_binarizer.py:300-320)
+    assert len(ds) in (3, 4)
+
+    items = [ds[i] for i in range(len(ds))]
+    is_orig = [
+        float(it["key_shift"]) == 0 and abs(float(it["speed"]) - 1) < 1e-9
+        for it in items
+    ]
+    orig = [it for it, o in zip(items, is_orig) if o]
+    augmented = [it for it, o in zip(items, is_orig) if not o]
+    assert len(orig) == 1 and len(augmented) == len(items) - 1
+    stretched = [it for it in augmented if abs(float(it["speed"]) - 1) > 1e-9]
+    assert len(stretched) >= 1  # the time-stretch pass ran
+
+    base = orig[0]
+    for it in augmented:
+        ks, speed = float(it["key_shift"]), float(it["speed"])
+        assert -5.0 <= ks <= 5.0
+        assert 0.5 <= speed <= 2.0
+        # consistent per-item lengths
+        assert it["mel2ph"].shape[0] == it["mel"].shape[0] == it["f0"].shape[0]
+        if abs(speed - 1) < 1e-9:
+            # pure pitch shift: same frame count, f0 multiplied by 2^(ks/12)
+            assert it["mel"].shape == base["mel"].shape
+            np.testing.assert_allclose(
+                it["f0"] / base["f0"], 2 ** (ks / 12), rtol=1e-4
+            )
+        else:
+            # duration scales inversely with speed (mel re-extracted)
+            assert abs(it["mel"].shape[0] - base["mel"].shape[0] / speed) <= 2
