@@ -104,3 +104,49 @@ def test_checkpoint_retention(tmp_path):
     mgr_bad = CheckpointManager(tmp_path, category="variance")
     with pytest.raises(ValueError):
         mgr_bad.restore_latest(state)
+
+
+def test_preprocess_entire_sample_corpus(tmp_path):
+    """Every segment of every acoustic-ready sample .ds must preprocess:
+    exercises dynamic gender/velocity curves, energy/breathiness curves and
+    long multi-segment projects across the full shipped corpus."""
+    from xiaoicesing_io_tpu.inference.acoustic import DiffSingerAcousticInfer
+    from xiaoicesing_io_tpu.utils.phonemes import PhonemeDictionary
+    from xiaoicesing_io_tpu.utils.text_encoder import TokenTextEncoder
+
+    # gender/velocity default when absent (ref ds_acoustic.py:114-154); a
+    # model with energy/breathiness embeds requires curves in the .ds (the
+    # reference hard-fails the same way, ds_acoustic.py:104-112), so those
+    # embeds are only enabled for the sample that carries the curves
+    cfg = _tiny_cfg(tmp_path)
+    cfg.update(use_key_shift_embed=True, use_speed_embed=True)
+    cfg_var = _tiny_cfg(tmp_path)
+    cfg_var.update(use_key_shift_embed=True, use_speed_embed=True,
+                   use_energy_embed=True, use_breathiness_embed=True)
+    phdict = PhonemeDictionary.load(DICT)
+    enc = TokenTextEncoder(phdict.phoneme_list)
+    model, core, normalizer = build_acoustic(cfg, enc.vocab_size)
+    state = init_acoustic_state(model, cfg, enc.vocab_size, jax.random.PRNGKey(0))
+    CheckpointManager(tmp_path, category="acoustic").save(state, step=100)
+    infer = DiffSingerAcousticInfer(cfg, load_vocoder=False)
+    infer_var = DiffSingerAcousticInfer(cfg_var, load_vocoder=False)
+    n_segments = 0
+    for path in sorted(SAMPLES.glob("*.ds")):
+        with open(path, encoding="utf8") as f:
+            segments = json.load(f)
+        if "ph_dur" not in segments[0]:
+            continue  # variance-input project (covered by the variance test)
+        for idx, seg in enumerate(segments):
+            active = infer_var if "energy" in seg else infer
+            batch = active.preprocess_input(seg, idx=idx)
+            T = batch["mel2ph"].shape[1]
+            assert T > 0
+            assert batch["tokens"].shape[0] == 1
+            assert batch["f0"].shape == (1, T)
+            for k in ("energy", "breathiness", "key_shift", "speed"):
+                if k in batch and np.asarray(batch[k]).ndim >= 2 \
+                        and np.asarray(batch[k]).shape[1] != 1:
+                    assert np.asarray(batch[k]).shape[1] == T, (path.name, idx, k)
+            assert np.isfinite(np.asarray(batch["f0"])).all(), (path.name, idx)
+            n_segments += 1
+    assert n_segments >= 130  # the seven acoustic-ready sample songs

@@ -138,3 +138,30 @@ def test_variance_run_inference_roundtrip(infer, sample_segment, tmp_path):
     assert "energy" in seg and "energy_timestep" in seg
     assert "breathiness" in seg
     assert len(seg["energy"].split()) == len(seg["breathiness"].split())
+
+
+def test_variance_preprocess_entire_corpus(infer):
+    """Every segment of every sample .ds parses through variance
+    preprocessing (notes, slurs, ph_num word grouping, rest interpolation),
+    including the phoneme-input project without ph_dur/f0."""
+    n = 0
+    for path in sorted(SAMPLES.glob("*.ds")):
+        with open(path, encoding="utf8") as f:
+            segments = json.load(f)
+        for idx, seg in enumerate(segments):
+            has_dur = "ph_dur" in seg
+            has_pitch = "f0_seq" in seg
+            batch = infer.preprocess_input(
+                seg, idx=idx, load_dur=has_dur, load_pitch=has_pitch
+            )
+            T_ph = batch["tokens"].shape[1]
+            assert T_ph > 0
+            assert batch["ph2word"].shape == (1, T_ph)
+            assert int(batch["ph2word"].max()) >= 1
+            n_notes = batch["note_midi"].shape[1]
+            assert batch["note_rest"].shape == (1, n_notes)
+            assert np.isfinite(np.asarray(batch["note_midi"])).all(), (path.name, idx)
+            if has_dur:
+                assert batch["mel2ph"].shape[1] > 0
+            n += 1
+    assert n >= 190  # all eight sample songs
