@@ -292,3 +292,21 @@ def test_lr_schedule_matches_torch_composites():
         np.testing.assert_allclose(
             got, want, rtol=1e-5,
             err_msg=f"LR trajectory mismatch for {args['scheduler_cls']}")
+
+
+def test_profiler_trace_capture(tiny_binary, tmp_path):
+    """profile_trace_steps captures a jax.profiler trace into work_dir/trace."""
+    root = tiny_binary
+    cfg = _acoustic_cfg(root, tmp_path / "exp_trace")
+    if not (root / "binary_ac/train.data").exists():
+        from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+        AcousticBinarizer(cfg).process()
+    cfg.update(max_updates=2, val_check_interval=10, num_sanity_val_steps=0,
+               profile_trace_steps=2)
+    from xiaoicesing_io_tpu.training.tasks import build_acoustic_trainer
+
+    build_acoustic_trainer(cfg).fit()
+    trace_dir = tmp_path / "exp_trace" / "trace"
+    assert trace_dir.exists()
+    assert any(trace_dir.rglob("*"))  # plugin wrote event/trace files

@@ -198,6 +198,14 @@ class Trainer:
         t_log = time.time()
         frames_since_log = 0
         last_validated = -1
+        # optional jax.profiler capture over the first N steps after (re)start
+        # (config: profile_trace_steps; trace lands in <work_dir>/trace)
+        trace_steps = int(self.cfg.get("profile_trace_steps", 0) or 0)
+        trace_stop_at = step + trace_steps if trace_steps > 0 else -1
+        if trace_steps > 0 and self.rank == 0:
+            trace_dir = str(Path(self.cfg["work_dir"]) / "trace")
+            jax.profiler.start_trace(trace_dir)
+            print(f"| capturing profiler trace for {trace_steps} steps -> {trace_dir}")
         while step < self.max_updates:
             sampler = self._make_sampler(epoch)
             for batch_idx, batch_np in enumerate(self._prefetch(sampler)):
@@ -209,21 +217,38 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 self.state, metrics = self.train_step(self.state, batch, sub)
                 step += 1
+                if step == trace_stop_at:
+                    jax.block_until_ready(metrics)
+                    if self.rank == 0:
+                        jax.profiler.stop_trace()
+                        print("| profiler trace capture complete")
+                    trace_stop_at = -1
                 if step % self.log_interval == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     lr = float(self.lr_schedule(step))
                     dt = time.time() - t_log
                     t_log = time.time()
                     sps = self.log_interval / max(dt, 1e-9)
+                    # BASELINE north-star unit: audio-seconds trained/s/chip
+                    audio_sps = (
+                        frames_since_log * self.cfg.get("hop_size", 512)
+                        / self.cfg.get("audio_sample_rate", 44100)
+                        / max(dt, 1e-9) / self.num_devices
+                    )
+                    frames_since_log = 0
                     print(
                         f"| step {step} | "
                         + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
                         + f" | lr={lr:.2e} | {sps:.2f} it/s"
+                        + f" | {audio_sps:.1f} audio-s/s/chip"
                     )
                     if self.writer:
                         for k, v in metrics.items():
                             self.writer.add_scalar(f"training/{k}", v, step)
                         self.writer.add_scalar("training/lr", lr, step)
+                        self.writer.add_scalar(
+                            "training/audio_s_per_s_per_chip", audio_sps, step
+                        )
                 if step % self.val_check_interval == 0:
                     self.validate(step, key)
                     last_validated = step
@@ -239,6 +264,8 @@ class Trainer:
             epoch += 1
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
+        if trace_stop_at > 0 and self.rank == 0:  # ended before capture window
+            jax.profiler.stop_trace()
         if stop_requested["flag"]:
             if self.rank == 0 and last_validated != step:
                 self.ckpt.save(jax.device_get(self.state), step,
