@@ -332,3 +332,64 @@ def test_variance_fs2_parity(rng, ref_hparams):
     )
     np.testing.assert_allclose(np.asarray(enc), ref_enc.numpy(), atol=ATOL)
     np.testing.assert_allclose(np.asarray(dur), ref_dur.numpy(), atol=2e-3)
+
+
+def test_loss_parity_vs_reference(rng):
+    """Golden: duration / diffusion / rectified-flow losses match the
+    reference modules bit-for-bit conventions (incl. the word-duration mean
+    over the batch-max word count, dur_loss.py:38-46)."""
+    import torch
+
+    from modules.losses.diff_loss import DiffusionLoss as RefDiffusionLoss
+    from modules.losses.dur_loss import DurationLoss as RefDurationLoss
+    from modules.losses.reflow_loss import RectifiedFlowLoss as RefReflowLoss
+
+    from xiaoicesing_io_tpu.training.losses import (
+        diffusion_loss,
+        duration_loss,
+        reflow_loss,
+    )
+
+    B, T_ph, T_f, M = 3, 14, 40, 8
+    # duration: padded phones (dur 0, word 0); ragged word counts per item
+    dur_pred = rng.uniform(0, 4, (B, T_ph)).astype(np.float32)
+    dur_pred[:, -3:] = 0.0
+    dur_gt = rng.integers(0, 5, (B, T_ph)).astype(np.int64)
+    dur_gt[:, -3:] = 0
+    ph2word = np.sort(rng.integers(1, 6, (B, T_ph)), axis=1)
+    ph2word[:, -3:] = 0
+    ph2word[1] = np.minimum(ph2word[1], 3)  # fewer words in one item
+
+    for loss_type in ("mse", "huber"):
+        ref = RefDurationLoss(offset=1.0, loss_type=loss_type,
+                              lambda_pdur=0.3, lambda_wdur=1.0, lambda_sdur=3.0)
+        want = float(ref(torch.from_numpy(dur_pred), torch.from_numpy(dur_gt),
+                         torch.from_numpy(ph2word)))
+        got = float(duration_loss(
+            jnp.asarray(dur_pred), jnp.asarray(dur_gt), jnp.asarray(ph2word),
+            offset=1.0, loss_type=loss_type,
+            lambda_pdur=0.3, lambda_wdur=1.0, lambda_sdur=3.0,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=loss_type)
+
+    # diffusion / reflow: ours [B, F, T, M] vs reference [B, F, M, T]
+    x = rng.standard_normal((B, 1, T_f, M)).astype(np.float32)
+    n = rng.standard_normal((B, 1, T_f, M)).astype(np.float32)
+    mask2d = (rng.uniform(size=(B, T_f)) > 0.2).astype(np.float32)
+    mask3d = np.repeat(mask2d[:, :, None], M, axis=2)  # [B, T, M]
+    xt = torch.from_numpy(x.transpose(0, 1, 3, 2))
+    nt = torch.from_numpy(n.transpose(0, 1, 3, 2))
+    for loss_type in ("l1", "l2"):
+        want = float(RefDiffusionLoss(loss_type)(xt, nt, torch.from_numpy(mask3d)))
+        got = float(diffusion_loss(jnp.asarray(x), jnp.asarray(n),
+                                   jnp.asarray(mask2d), loss_type=loss_type))
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=loss_type)
+
+    t = rng.uniform(0.01, 0.99, (B,)).astype(np.float32)
+    for log_norm in (False, True):
+        want = float(RefReflowLoss("l2", log_norm=log_norm)(
+            xt, nt, torch.from_numpy(t), torch.from_numpy(mask3d)))
+        got = float(reflow_loss(jnp.asarray(x), jnp.asarray(n), jnp.asarray(t),
+                                jnp.asarray(mask2d), loss_type="l2",
+                                log_norm=log_norm))
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"log_norm={log_norm}")

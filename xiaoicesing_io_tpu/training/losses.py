@@ -103,7 +103,13 @@ def duration_loss(
     seg = lambda d: jax.vmap(
         lambda dd, w: jax.ops.segment_sum(dd, w, num_segments=num_words + 1)
     )(d, ph2word)[:, 1:]
-    wdur = lambda_wdur * jnp.mean(base(log(seg(dur_pred)), log(seg(dur_gt))))
+    # the reference aggregates into a [B, ph2word.max()] tensor and takes a
+    # plain mean (dur_loss.py:38-46) — entries past the batch-max word index
+    # are zero in both operands, so with static shapes the same mean is the
+    # sum divided by B * max(ph2word)
+    wdur_elems = base(log(seg(dur_pred)), log(seg(dur_gt)))
+    wdur_denom = dur_pred.shape[0] * jnp.maximum(jnp.max(ph2word), 1)
+    wdur = lambda_wdur * jnp.sum(wdur_elems) / wdur_denom.astype(wdur_elems.dtype)
     sdur = lambda_sdur * jnp.mean(
         base(log(jnp.sum(dur_pred, axis=1)), log(jnp.sum(dur_gt, axis=1)))
     )
