@@ -207,6 +207,12 @@ def load_config(
                 merged = saved_cfg
             else:
                 deep_merge(merged, saved_cfg)
+        elif config_path is None:
+            raise FileNotFoundError(
+                f"no saved config at '{saved}' — is '{work_dir}' a trained "
+                f"experiment work dir? (cwd-relative: experiments resolve "
+                f"under '{Path(work_dir_root).resolve()}')"
+            )
         merged["exp_name"] = exp_name
         merged["work_dir"] = str(work_dir)
 
