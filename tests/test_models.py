@@ -206,3 +206,56 @@ def test_losses():
     # loss is zero when prediction equals target
     dl0 = duration_loss(dur_gt.astype(jnp.float32), dur_gt, ph2word)
     np.testing.assert_allclose(float(dl0), 0.0, atol=1e-10)
+
+
+def test_discrete_f0_embed_parity():
+    """Legacy ``f0_embed_type: discrete`` coarse quantization matches the
+    reference formula (deployment/modules/fastspeech2.py:21-28), and the
+    converter maps a legacy [256, H] embedding table onto the flax Embed."""
+    import torch
+
+    from xiaoicesing_io_tpu.models.fastspeech.acoustic import f0_to_coarse
+
+    rng = np.random.default_rng(3)
+    f0_np = rng.uniform(0, 1100, size=(2, 64)).astype(np.float32)
+    f0_np[0, :8] = 0.0  # unvoiced
+
+    f0_bin, f0_min, f0_max = 256, 50.0, 1100.0
+    f0_mel_min = 1127 * np.log(1 + f0_min / 700)
+    f0_mel_max = 1127 * np.log(1 + f0_max / 700)
+    f0_t = torch.from_numpy(f0_np)
+    f0_mel = 1127 * (1 + f0_t / 700).log()
+    a = (f0_bin - 2) / (f0_mel_max - f0_mel_min)
+    b = f0_mel_min * a - 1.0
+    f0_mel = torch.where(f0_mel > 0, f0_mel * a - b, f0_mel)
+    torch.clip_(f0_mel, min=1.0, max=float(f0_bin - 1))
+    ref = torch.round(f0_mel).long().numpy()
+
+    ours = np.asarray(f0_to_coarse(jnp.asarray(f0_np)))
+    np.testing.assert_array_equal(ours, ref)
+
+    # converter: a bias-free [256, H] fs2.pitch_embed lands as an Embed table
+    from xiaoicesing_io_tpu.utils import torch_ckpt
+
+    H = 16
+    table = torch.randn(256, H)
+    sd = {
+        "fs2.txt_embed.weight": torch.randn(8, H),
+        "fs2.dur_embed.weight": torch.randn(H, 1),
+        "fs2.dur_embed.bias": torch.randn(H),
+        "fs2.pitch_embed.weight": table,
+    }
+    emb = torch_ckpt.embedding(sd, "fs2.pitch_embed")
+    np.testing.assert_allclose(emb["embedding"], table.numpy())
+
+    # model forward with discrete embed runs and differs from continuous
+    model = FastSpeech2Acoustic(
+        vocab_size=8, hidden_size=H, enc_layers=1, num_heads=2,
+        f0_embed_type="discrete",
+    )
+    tokens = jnp.asarray(rng.integers(1, 8, size=(2, 6)).astype(np.int32))
+    mel2ph = jnp.asarray(np.sort(rng.integers(1, 7, size=(2, 64))).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), tokens, mel2ph, jnp.asarray(f0_np))
+    assert params["params"]["pitch_embed"]["embedding"].shape == (256, H)
+    cond = model.apply(params, tokens, mel2ph, jnp.asarray(f0_np))
+    assert np.isfinite(np.asarray(cond)).all()

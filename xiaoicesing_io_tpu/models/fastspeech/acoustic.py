@@ -17,6 +17,21 @@ from ...ops.seq import gather_frames, mel2ph_to_dur
 from ..common import normal_embed_init
 from .encoder import FastSpeech2Encoder
 
+# legacy coarse-f0 quantization (ref: deployment/modules/fastspeech2.py:14-28)
+_F0_BIN = 256
+_F0_MEL_MIN = 1127.0 * jnp.log(1.0 + 50.0 / 700.0)
+_F0_MEL_MAX = 1127.0 * jnp.log(1.0 + 1100.0 / 700.0)
+
+
+def f0_to_coarse(f0: jnp.ndarray) -> jnp.ndarray:
+    """Quantize f0 (Hz) into the legacy 256-bin coarse mel scale."""
+    f0_mel = 1127.0 * jnp.log(1.0 + f0 / 700.0)
+    a = (_F0_BIN - 2) / (_F0_MEL_MAX - _F0_MEL_MIN)
+    b = _F0_MEL_MIN * a - 1.0
+    f0_mel = jnp.where(f0_mel > 0, f0_mel * a - b, f0_mel)
+    f0_mel = jnp.clip(f0_mel, 1.0, float(_F0_BIN - 1))
+    return jnp.round(f0_mel).astype(jnp.int32)
+
 
 class FastSpeech2Acoustic(nn.Module):
     vocab_size: int
@@ -34,6 +49,7 @@ class FastSpeech2Acoustic(nn.Module):
     use_speed_embed: bool = False
     use_spk_id: bool = False
     num_spk: int = 1
+    f0_embed_type: str = "continuous"  # legacy ckpts: "discrete" (coarse bins)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,9 +96,17 @@ class FastSpeech2Acoustic(nn.Module):
                 )(spk_embed_id)[:, None, :]
             condition = condition + spk
 
-        # mel-scale pitch embedding (ref: acoustic_encoder.py:101-103)
-        f0_mel = jnp.log(1.0 + f0 / 700.0)
-        condition = condition + dense("pitch_embed")(f0_mel[:, :, None])
+        # mel-scale pitch embedding (ref: acoustic_encoder.py:101-103); legacy
+        # checkpoints use a 256-bin coarse embedding table instead
+        # (ref: deployment/modules/fastspeech2.py:48-72)
+        if self.f0_embed_type == "discrete":
+            condition = condition + nn.Embed(
+                _F0_BIN, H, embedding_init=normal_embed_init(H),
+                dtype=self.dtype, name="pitch_embed",
+            )(f0_to_coarse(f0))
+        else:
+            f0_mel = jnp.log(1.0 + f0 / 700.0)
+            condition = condition + dense("pitch_embed")(f0_mel[:, :, None])
 
         for v_name in self.variance_embeds:
             v = variances[v_name]

@@ -85,6 +85,7 @@ class AcousticModel(nn.Module):
             use_speed_embed=cfg.get("use_speed_embed", False),
             use_spk_id=cfg.get("use_spk_id", False),
             num_spk=cfg.get("num_spk", 1),
+            f0_embed_type=cfg.get("f0_embed_type", "continuous"),
             dtype=dtype,
             name="fs2",
         )

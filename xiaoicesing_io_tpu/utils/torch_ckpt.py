@@ -205,7 +205,15 @@ def convert_acoustic(state_dict: Dict, cfg) -> Dict:
     fs2 = {
         "txt_embed": embedding(sd, "fs2.txt_embed"),
         "dur_embed": linear(sd, "fs2.dur_embed"),
-        "pitch_embed": linear(sd, "fs2.pitch_embed"),
+        # legacy ckpts (f0_embed_type: discrete) store a [256, H] embedding
+        # table instead of a Linear(1, H) (ref: deployment/modules/fastspeech2.py:48-51)
+        "pitch_embed": (
+            embedding(sd, "fs2.pitch_embed")
+            if sd["fs2.pitch_embed.weight"].dim() == 2
+            and sd["fs2.pitch_embed.weight"].shape[1] != 1
+            and "fs2.pitch_embed.bias" not in sd
+            else linear(sd, "fs2.pitch_embed")
+        ),
         "encoder": convert_fs2_encoder(sd, "fs2.encoder", cfg.get("enc_layers", 4)),
     }
     for v in ("energy", "breathiness", "voicing", "tension"):
