@@ -8,6 +8,7 @@ embeddings, producing the diffusion condition [B, T_frames, H].
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -18,9 +19,10 @@ from ..common import normal_embed_init
 from .encoder import FastSpeech2Encoder
 
 # legacy coarse-f0 quantization (ref: deployment/modules/fastspeech2.py:14-28)
+# plain-python constants: importing a model module must NOT init the backend
 _F0_BIN = 256
-_F0_MEL_MIN = 1127.0 * jnp.log(1.0 + 50.0 / 700.0)
-_F0_MEL_MAX = 1127.0 * jnp.log(1.0 + 1100.0 / 700.0)
+_F0_MEL_MIN = 1127.0 * math.log(1.0 + 50.0 / 700.0)
+_F0_MEL_MAX = 1127.0 * math.log(1.0 + 1100.0 / 700.0)
 
 
 def f0_to_coarse(f0: jnp.ndarray) -> jnp.ndarray:
