@@ -31,7 +31,7 @@ def test_cli_help():
 
     r = CliRunner().invoke(cli, ["--help"])
     assert r.exit_code == 0
-    for cmd in ["train", "binarize", "infer", "vocode", "drop-spk", "export"]:
+    for cmd in ["train", "binarize", "infer", "vocode", "drop_spk", "export"]:
         assert cmd in r.output
 
 
@@ -110,7 +110,8 @@ def test_drop_spk_roundtrip(tiny_ckpt):
         latest_checkpoint,
     )
 
-    drop_speakers(wd.name, ["bob"], fill="zeros", work_dir_root=str(wd.parent))
+    drop_speakers(wd.name, ["bob"], fill="zeros", work_dir_root=str(wd.parent),
+                  overwrite=True)
     path = latest_checkpoint(wd)
     restored = _checkpointer().restore(Path(path).resolve())
     table = np.asarray(restored["params"]["fs2"]["spk_embed"]["embedding"])
@@ -314,7 +315,7 @@ def test_drop_speakers_retain_mode(tiny_ckpt):
     )
 
     drop_speakers(wd.name, ["alice"], fill="zeros",
-                  work_dir_root=str(wd.parent), retain=True)
+                  work_dir_root=str(wd.parent), retain=True, overwrite=True)
     restored = _checkpointer().restore(Path(latest_checkpoint(wd)).resolve())
     table = np.asarray(restored["params"]["fs2"]["spk_embed"]["embedding"])
     assert not np.allclose(table[0], 0)  # alice kept
@@ -329,3 +330,42 @@ def test_modify_spk_embed_retain():
     assert np.allclose(out[1], table[1])
     for i in (0, 2, 3):
         assert np.allclose(out[i], 0)
+
+
+def test_drop_spk_out_path_and_overwrite_guard(tiny_ckpt, tmp_path):
+    """--out writes a new checkpoint leaving the source untouched; in-place
+    edits and clobbering an existing --out both require --overwrite
+    (ref: scripts/drop_spk.py:33-45)."""
+    cfg, wd = tiny_ckpt
+    from xiaoicesing_io_tpu.deployment.drop_spk import drop_speakers
+    from xiaoicesing_io_tpu.training.checkpoint import (
+        _checkpointer,
+        latest_checkpoint,
+    )
+
+    with pytest.raises(AssertionError):
+        drop_speakers(wd.name, ["bob"], fill="zeros",
+                      work_dir_root=str(wd.parent))  # in place w/o overwrite
+
+    src_path = Path(latest_checkpoint(wd)).resolve()
+    src_before = np.asarray(
+        _checkpointer().restore(src_path)["params"]["fs2"]["spk_embed"]["embedding"]
+    )
+    dest = tmp_path / "scrubbed_ckpt"
+    drop_speakers(wd.name, ["alice"], fill="random",
+                  work_dir_root=str(wd.parent), out=str(dest))
+    table = np.asarray(
+        _checkpointer().restore(dest.resolve())["params"]["fs2"]["spk_embed"]["embedding"]
+    )
+    assert not np.allclose(table[0], src_before[0])  # alice scrubbed in dest
+
+    src_after = np.asarray(
+        _checkpointer().restore(src_path)["params"]["fs2"]["spk_embed"]["embedding"]
+    )
+    assert np.allclose(src_after, src_before)  # source untouched
+
+    with pytest.raises(AssertionError):
+        drop_speakers(wd.name, ["alice"], fill="zeros",
+                      work_dir_root=str(wd.parent), out=str(dest))  # exists
+    drop_speakers(wd.name, ["alice"], fill="zeros",
+                  work_dir_root=str(wd.parent), out=str(dest), overwrite=True)

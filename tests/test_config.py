@@ -104,3 +104,17 @@ def test_parse_overrides_nested_and_mapping():
     assert parse_overrides("a.b.c=3")["a"]["b"]["c"] == 3
     with pytest.raises(ValueError):
         parse_overrides("novalue")
+
+
+def test_legacy_key_migration(tmp_path):
+    # g2p_dictionary aliases dictionary (ref utils/phoneme_utils.py:25-30);
+    # pl_trainer_precision aliases precision (ref configs/base.yaml:77)
+    _write(tmp_path / "cfg.yaml", {"g2p_dictionary": "dict.txt",
+                                   "pl_trainer_precision": "bf16-mixed"})
+    cfg = load_config(tmp_path / "cfg.yaml")
+    assert cfg["dictionary"] == "dict.txt"
+    assert cfg["precision"] == "bf16-mixed"
+
+    # an explicit `dictionary` takes priority over the legacy alias
+    _write(tmp_path / "cfg2.yaml", {"dictionary": "a.txt", "g2p_dictionary": "b.txt"})
+    assert load_config(tmp_path / "cfg2.yaml")["dictionary"] == "a.txt"

@@ -276,17 +276,22 @@ def vocode(mel_path, exp, config, vocoder_cls, vocoder_ckpt, out, title):
     print(f"| save audio: {out_path}")
 
 
-@cli.command(help="Scrub speaker embeddings in a checkpoint (privacy)")
+@cli.command("drop_spk", help="Scrub speaker embeddings in a checkpoint (privacy)")
 @click.argument("exp")
 @click.option("--spk", multiple=True, required=True, help="Speaker names or ids to drop")
 @click.option("--fill", type=click.Choice(["zeros", "random", "mean", "cyclic"]),
               default="zeros")
 @click.option("--retain", is_flag=True,
               help="Invert: KEEP the listed speakers and scrub all others")
-def drop_spk(exp, spk, fill, retain):
+@click.option("--out", type=click.Path(), default=None,
+              help="Write the scrubbed checkpoint here instead of in place")
+@click.option("--overwrite", is_flag=True,
+              help="Allow replacing an existing checkpoint (required for in-place edits)")
+def drop_spk(exp, spk, fill, retain, out, overwrite):
     from ..deployment.drop_spk import drop_speakers
 
-    drop_speakers(_find_exp(exp), list(spk), fill, retain=retain)
+    drop_speakers(_find_exp(exp), list(spk), fill, retain=retain,
+                  out=out, overwrite=overwrite)
 
 
 @cli.group(help="Export models for deployment")

@@ -8,6 +8,23 @@ so configs saved by older reference versions load unchanged.
 from __future__ import annotations
 
 
+def migrate_legacy_keys(cfg: dict) -> dict:
+    """Alias legacy reference config keys onto their current names.
+
+    * ``g2p_dictionary`` -> ``dictionary`` (ref: ``utils/phoneme_utils.py:25-30``
+      accepts either, with ``dictionary`` taking priority)
+    * ``pl_trainer_precision`` -> ``precision`` (the Lightning trainer key,
+      ref: ``configs/base.yaml:77``; our trainer reads ``precision``)
+
+    Mutates and returns ``cfg``.
+    """
+    if "dictionary" not in cfg and cfg.get("g2p_dictionary"):
+        cfg["dictionary"] = cfg["g2p_dictionary"]
+    if "precision" not in cfg and cfg.get("pl_trainer_precision"):
+        cfg["precision"] = str(cfg["pl_trainer_precision"])
+    return cfg
+
+
 def get_backbone_type(root_config: dict, nested_config: dict = None) -> str:
     if nested_config is None:
         nested_config = root_config

@@ -219,6 +219,10 @@ def load_config(
     deep_merge(merged, parse_overrides(overrides))
     merged["infer"] = infer
 
+    from .compat import migrate_legacy_keys
+
+    migrate_legacy_keys(merged)
+
     cfg = _wrap(merged)
     if save and work_dir is not None:
         cfg.save(work_dir / "config.yaml")

@@ -49,11 +49,15 @@ def modify_spk_embed(
 
 
 def drop_speakers(exp: str, spk: List[str], fill: str = "zeros",
-                  work_dir_root: str = "checkpoints", retain: bool = False):
+                  work_dir_root: str = "checkpoints", retain: bool = False,
+                  out: str = None, overwrite: bool = False):
     """Scrub speakers (by name via spk_map, or numeric id) in the latest
-    checkpoint of an experiment, in place.  ``retain=True`` inverts the
-    selection: the listed speakers are KEPT and all others scrubbed
-    (ref: scripts/drop_spk.py --retain)."""
+    checkpoint of an experiment.  ``retain=True`` inverts the selection: the
+    listed speakers are KEPT and all others scrubbed (ref:
+    scripts/drop_spk.py --retain).  With ``out`` the scrubbed checkpoint is
+    written to a new directory (the reference's input/output file pair,
+    scripts/drop_spk.py:33-45); otherwise the checkpoint is edited in place,
+    which requires ``overwrite=True``."""
     import json
 
     from ..training.checkpoint import latest_checkpoint, _checkpointer
@@ -87,10 +91,21 @@ def drop_speakers(exp: str, spk: List[str], fill: str = "zeros",
     meta = None
     if (path / "meta.json").exists():
         meta = (path / "meta.json").read_text()
-    shutil.rmtree(path)
-    ckptr.save(Path(path).resolve(), restored)
+    if out is not None:
+        dest = Path(out)
+        if dest.exists():
+            assert overwrite, f"{dest} exists; pass --overwrite to replace it"
+            shutil.rmtree(dest)
+    else:
+        assert overwrite, (
+            f"refusing to edit {path} in place without --overwrite "
+            f"(pass --out to write elsewhere)"
+        )
+        dest = path
+        shutil.rmtree(path)
+    ckptr.save(dest.resolve(), restored)
     ckptr.wait_until_finished()
     if meta is not None:
-        (path / "meta.json").write_text(meta)
+        (dest / "meta.json").write_text(meta)
     what = f"all speakers except {sorted(ids)}" if retain else f"speakers {sorted(ids)}"
-    print(f"| scrubbed {what} in {path}")
+    print(f"| scrubbed {what} -> {dest}")

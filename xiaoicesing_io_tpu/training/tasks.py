@@ -97,7 +97,7 @@ def make_acoustic_validation_extras(cfg, model, core, normalizer, valid_ds):
 
     from ..models.diffusion.core import GaussianDiffusion
     from ..models.toplevel import AcousticModel
-    from ..utils.plot import spec_diff_to_figure
+    from ..utils.plot import spec_diff_to_figure, tb_add_audio
 
     vocoder = None
     vocoder_failed = False
@@ -166,14 +166,14 @@ def make_acoustic_validation_extras(cfg, model, core, normalizer, valid_ds):
             if vocoder is not None:
                 f0 = np.asarray(batch["f0"])[0][:T_real]
                 wav_pred = vocoder.spec2wav(mel_pred[:T_real], f0)
-                trainer.writer.add_audio(
-                    f"validation/wav_diff_{i}", wav_pred[:, None], step,
+                tb_add_audio(
+                    trainer.writer, f"validation/wav_diff_{i}", wav_pred, step,
                     sample_rate=cfg["audio_sample_rate"],
                 )
                 if step <= trainer.val_check_interval:  # log GT once
                     wav_gt = vocoder.spec2wav(gt_mel[:T_real], f0)
-                    trainer.writer.add_audio(
-                        f"validation/wav_gt_{i}", wav_gt[:, None], step,
+                    tb_add_audio(
+                        trainer.writer, f"validation/wav_gt_{i}", wav_gt, step,
                         sample_rate=cfg["audio_sample_rate"],
                     )
 

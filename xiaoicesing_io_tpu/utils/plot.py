@@ -105,3 +105,38 @@ def pitch_notes_to_figure(pitch_gt, pitch_pred=None, note_midi=None, note_dur=No
     plt.legend()
     plt.tight_layout()
     return fig
+
+
+def tb_add_audio(writer, tag, wav, step, sample_rate):
+    """``SummaryWriter.add_audio`` with a stdlib fallback.
+
+    tensorboardX's ``add_audio`` requires the optional ``soundfile`` wheel to
+    encode the clip; when it is absent we build the audio Summary proto
+    ourselves from a PCM16 WAV encoded with the stdlib ``wave`` module, so
+    validation audio (ref: training/acoustic_task.py:177-233 logs GT/pred
+    wavs to TensorBoard) works in minimal environments.
+    """
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    try:
+        writer.add_audio(tag, wav[:, None], step, sample_rate=sample_rate)
+        return
+    except (ImportError, ModuleNotFoundError):
+        pass
+    import io
+    import wave as _wave
+
+    from tensorboardX.proto.summary_pb2 import Summary
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes((np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes())
+    audio = Summary.Audio(
+        sample_rate=float(sample_rate), num_channels=1,
+        length_frames=len(wav), encoded_audio_string=buf.getvalue(),
+        content_type="audio/wav",
+    )
+    summary = Summary(value=[Summary.Value(tag=tag, audio=audio)])
+    writer._get_file_writer().add_summary(summary, step)
