@@ -209,3 +209,112 @@ def test_cli_e2e_acoustic(corpus):
     p = _run([SCRIPTS / "drop_spk.py", "E", "--spk", "0", "--out", "scrub"],
              cwd=corpus, check=False)
     assert p.returncode != 0 and "no speaker embedding table" in (p.stdout + p.stderr)
+
+
+@pytest.fixture(scope="module")
+def variance_corpus(tmp_path_factory):
+    """Score-annotated corpus (ph_num/note_seq/note_dur) + variance config."""
+    root = tmp_path_factory.mktemp("cli_e2e_var")
+    wav_dir = root / "raw/wavs"
+    wav_dir.mkdir(parents=True)
+    sr = 44100
+    rng = np.random.default_rng(1)
+    rows = ["name,ph_seq,ph_dur,ph_num,note_seq,note_dur"]
+    silences = {"v1": "SP", "v2": "AP", "v3": "SP", "v4": "AP"}
+    for i, (name, f0) in enumerate([("v1", 220.0), ("v2", 247.0),
+                                    ("v3", 294.0), ("v4", 196.0)]):
+        dur = 1.2
+        n = int(sr * dur)
+        t = np.arange(n) / sr
+        x = 0.3 * np.sin(2 * math.pi * f0 * t) + 0.01 * rng.standard_normal(n)
+        with wave.open(str(wav_dir / f"{name}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((np.clip(x, -1, 1) * 32767).astype(np.int16).tobytes())
+        third = dur / 3
+        ph = "a b" if i % 2 == 0 else "b a"
+        rows.append(
+            f"{name},{silences[name]} {ph},{third:.3f} {third:.3f} {third:.3f},"
+            f"1 2,rest A3,{third:.3f} {2 * third:.3f}"
+        )
+    (root / "raw/transcriptions.csv").write_text("\n".join(rows) + "\n")
+    (root / "dict.txt").write_text("x\ta b\ny\tb a\n")
+
+    (root / "cfg.yaml").write_text(f"""
+base_config: [variance.yaml]
+dictionary: {root}/dict.txt
+raw_data_dir: [{root}/raw]
+speakers: [tinyspk]
+binary_data_dir: {root}/binary
+test_prefixes: [v1]
+binarization_args:
+  num_workers: 0
+hidden_size: 32
+enc_layers: 1
+enc_ffn_kernel_size: 3
+predict_energy: true
+dur_prediction_args:
+  hidden_size: 16
+  num_layers: 1
+pitch_prediction_args:
+  repeat_bins: 8
+  backbone_args:
+    num_channels: 16
+    num_layers: 2
+variances_prediction_args:
+  total_repeat_bins: 8
+  backbone_args:
+    num_channels: 16
+    num_layers: 2
+max_updates: 4
+val_check_interval: 2
+num_valid_plots: 1
+precision: fp32
+sampling_steps: 3
+max_batch_frames: 2000
+max_batch_size: 4
+""")
+
+    seg = {
+        "offset": 0.0,
+        "text": "x",
+        "ph_seq": "SP a b",
+        "ph_num": "1 2",
+        "note_seq": "rest A3",
+        "note_dur": "0.4 0.8",
+        "note_slur": "0 0",
+    }
+    (root / "song.ds").write_text(json.dumps([seg]))
+    return root
+
+
+def test_cli_e2e_variance(variance_corpus):
+    root = variance_corpus
+    _run([SCRIPTS / "binarize.py", "--config", "cfg.yaml"], cwd=root)
+    assert (root / "binary/train.data").exists()
+
+    p = _run([SCRIPTS / "train.py", "--config", "cfg.yaml", "--exp_name", "V"],
+             cwd=root, timeout=900)
+    assert "training finished at step 4" in p.stdout
+    assert (root / "checkpoints/V/model_ckpt_steps_4").exists()
+
+    # explicit --predict energy: dur/pitch are predicted internally as
+    # prerequisites (score-only .ds) but only energy is written back
+    # (ref: ds_variance.py write-back gating on the requested predictions)
+    _run([SCRIPTS / "infer.py", "variance", "song.ds", "--exp", "V",
+          "--predict", "energy", "--out", "out", "--seed", "7"],
+         cwd=root, timeout=900)
+    seg = json.loads((root / "out/song.ds").read_text())[0]
+    assert "energy" in seg and "energy_timestep" in seg
+    assert "ph_dur" not in seg and "f0_seq" not in seg
+
+    # auto-completion mode (no --predict): every attribute the model can
+    # predict and the .ds is missing gets filled in
+    _run([SCRIPTS / "infer.py", "variance", "song.ds", "--exp", "V",
+          "--out", "out_auto", "--seed", "7"], cwd=root, timeout=900)
+    seg = json.loads((root / "out_auto/song.ds").read_text())[0]
+    assert "ph_dur" in seg and len(seg["ph_dur"].split()) == 3
+    assert "f0_seq" in seg and "f0_timestep" in seg
+    assert "energy" in seg and "energy_timestep" in seg
+    assert all(float(x) > 0 for x in seg["f0_seq"].split())
