@@ -201,9 +201,22 @@ def test_cli_e2e_acoustic(corpus):
     n_frames = mel["seg0_f0"].shape[-1]
     assert len(w1) - 44 == n_frames * 512 * 2  # PCM16: frames*hop samples
 
-    _run([SCRIPTS / "vocode.py", "out/song.mel.npz", "--exp", "E",
-          "--out", "out", "--title", "voc"], cwd=corpus, timeout=600)
-    assert (corpus / "out/voc.wav").stat().st_size == len(w1)
+    # unseeded mode draws fresh entropy per invocation (reference leaves the
+    # torch RNG unseeded), so two runs without --seed must differ
+    for title in ["fresh1", "fresh2"]:
+        _run([SCRIPTS / "infer.py", "acoustic", "song.ds", "--exp", "E",
+              "--out", "out", "--title", title], cwd=corpus, timeout=900)
+    assert (corpus / "out/fresh1.wav").read_bytes() != \
+        (corpus / "out/fresh2.wav").read_bytes()
+
+    # vocode: seeded -> byte-identical; the NSF source noise rides the seed
+    for title in ["voc", "voc2"]:
+        _run([SCRIPTS / "vocode.py", "out/song.mel.npz", "--exp", "E",
+              "--out", "out", "--title", title, "--seed", "5"],
+             cwd=corpus, timeout=600)
+    vb = (corpus / "out/voc.wav").read_bytes()
+    assert vb == (corpus / "out/voc2.wav").read_bytes()
+    assert len(vb) == len(w1)
 
     # drop_spk: single-speaker model -> clear "no speaker embedding" error
     p = _run([SCRIPTS / "drop_spk.py", "E", "--spk", "0", "--out", "scrub"],

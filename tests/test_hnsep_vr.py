@@ -44,3 +44,9 @@ def test_cascaded_net_parity(rng):
     ours = np.asarray(model.apply(params, jnp.asarray(ri)))
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=1e-3)
+    # untrained activations are tiny (~1e-4), so an absolute tolerance alone
+    # can hide structural mismatches (regression: isotropic ASPP dilations
+    # diverged ~44% relative yet passed atol=1e-3) — bound the relative error
+    scale = np.abs(ref).max()
+    assert scale > 0
+    assert np.abs(ours - ref).max() / scale < 1e-3

@@ -235,9 +235,13 @@ def variance(proj, exp, ckpt, predict, spk, out, title, num, key, expr, seed, st
               help="Vocoder checkpoint path override")
 @click.option("--out", required=False)
 @click.option("--title", required=False)
-def vocode(mel_path, exp, config, vocoder_cls, vocoder_ckpt, out, title):
+@click.option("--seed", type=int, default=-1,
+              help="Seed for the NSF source noise; <0 = fresh randomness "
+                   "per run (the reference's unseeded behavior)")
+def vocode(mel_path, exp, config, vocoder_cls, vocoder_ckpt, out, title, seed):
     import numpy as np
 
+    from ..utils import fresh_seed, key_from_seed
     from ..utils.curves import cross_fade
     from ..utils.audio import save_wav
 
@@ -258,9 +262,14 @@ def vocode(mel_path, exp, config, vocoder_cls, vocoder_ckpt, out, title):
     sr = cfg["audio_sample_rate"]
     result = np.zeros(0)
     current_length = 0
-    for seg_name in sorted(segs, key=lambda s: int(s.removeprefix("seg"))):
+    base_seed = seed if seed >= 0 else fresh_seed()
+    for i, seg_name in enumerate(
+        sorted(segs, key=lambda s: int(s.removeprefix("seg")))
+    ):
         seg = segs[seg_name]
-        wav = vocoder.spec2wav(seg["mel"], seg["f0"])
+        wav = vocoder.spec2wav(
+            seg["mel"], seg["f0"], key=key_from_seed(base_seed + i, salt=1)
+        )
         silent = round(float(seg.get("offset", 0.0)) * sr) - current_length
         if silent >= 0:
             result = np.append(result, np.zeros(silent))

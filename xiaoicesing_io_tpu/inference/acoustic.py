@@ -27,6 +27,7 @@ from ..models.toplevel import AcousticModel, VARIANCE_CHECKLIST
 from ..ops.seq import length_regulator
 from ..training.acoustic import build_acoustic
 from ..training.checkpoint import load_params_for_inference
+from ..utils import fresh_seed, key_from_seed
 from ..utils.curves import cross_fade, resample_align_curve
 from ..utils.phonemes import PhonemeDictionary, locate_dictionary
 from ..utils.text_encoder import TokenTextEncoder
@@ -262,8 +263,12 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
         mel = np.asarray(fn(self.params, jb, key))
         return mel[:, :length]
 
-    def run_vocoder(self, mel: np.ndarray, f0: np.ndarray) -> np.ndarray:
-        return self.vocoder.spec2wav(mel[0], f0[0])
+    def run_vocoder(
+        self, mel: np.ndarray, f0: np.ndarray, seed: Optional[int] = None
+    ) -> np.ndarray:
+        """Vocode one segment; `seed` drives the NSF source noise (the
+        reference's SineGen draws from the globally seeded torch RNG)."""
+        return self.vocoder.spec2wav(mel[0], f0[0], key=key_from_seed(seed, salt=1))
 
     # -- driver (parity: ds_acoustic.py:189-246) ----------------------------
 
@@ -286,22 +291,26 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
 
             dp = DataParallelSynthesizer(self)
         for run in range(num_runs):
+            # seed < 0 reproduces the reference's unseeded mode: fresh
+            # entropy per run, so repeated invocations give different takes
+            run_seed = seed if seed >= 0 else fresh_seed()
             dp_mels = dp_wavs = None
             if dp is not None:
                 dp_mels, dp_f0s = dp.synthesize_mels(
-                    params, seed=(seed if seed >= 0 else run * 1000),
-                    batches=batches,
+                    params, seed=run_seed, batches=batches,
                 )
                 if not save_mel:
                     # bucket-batched vocoding over all segments at once
-                    dp_wavs = dp.vocode(dp_mels, dp_f0s)
+                    dp_wavs = dp.vocode(
+                        dp_mels, dp_f0s, seed=run_seed
+                    )
             result = [] if save_mel else np.zeros(0)
             current_length = 0
             for i, (param, batch) in enumerate(zip(params, batches)):
                 if dp_mels is not None:
                     mel_pred = dp_mels[i][None]
                 else:
-                    seg_seed = param.get("seed", seed if seed >= 0 else run * 1000 + i)
+                    seg_seed = param.get("seed", run_seed + i)
                     mel_pred = self.forward_model(batch, seed=int(seg_seed))
                 if save_mel:
                     result.append({
@@ -312,7 +321,8 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                 else:
                     wav = (
                         dp_wavs[i] if dp_wavs is not None
-                        else self.run_vocoder(mel_pred, np.asarray(batch["f0"]))
+                        else self.run_vocoder(mel_pred, np.asarray(batch["f0"]),
+                                              seed=int(seg_seed))
                     )
                     silent = round(param.get("offset", 0) * sr) - current_length
                     if silent >= 0:

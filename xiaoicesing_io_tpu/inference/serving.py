@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ..utils import key_from_seed
 from .acoustic import DiffSingerAcousticInfer, _bucket
 
 
@@ -137,8 +138,10 @@ class DataParallelSynthesizer:
                     f0s[i] = np.asarray(batches[i]["f0"])[0, : lengths[i]]
         return mels, f0s
 
-    def vocode(self, mels: Sequence[np.ndarray], f0s: Sequence[np.ndarray]):
-        """Batch same-length mels through the vocoder; returns wavs in order."""
+    def vocode(self, mels: Sequence[np.ndarray], f0s: Sequence[np.ndarray],
+               seed: Optional[int] = None):
+        """Batch same-length mels through the vocoder; returns wavs in order.
+        `seed` drives the NSF source noise (one key per length bucket)."""
         assert self.infer.vocoder is not None, "built with load_vocoder=False"
         groups: Dict[int, List[int]] = defaultdict(list)
         for i, m in enumerate(mels):
@@ -147,7 +150,9 @@ class DataParallelSynthesizer:
         for ln, idxs in sorted(groups.items()):
             mel = np.stack([mels[i] for i in idxs])
             f0 = np.stack([f0s[i] for i in idxs])
-            out = self.infer.vocoder.spec2wav(mel, f0)
+            out = self.infer.vocoder.spec2wav(
+                mel, f0, key=key_from_seed(seed, salt=ln)
+            )
             for row, i in enumerate(idxs):
                 wavs[i] = out[row]
         return wavs

@@ -27,7 +27,7 @@ def lynx_denoiser_apply(
     cond: jnp.ndarray,  # [B, T, H]
     *,
     num_layers: int = 6,
-    strong_cond: bool = True,
+    strong_cond: bool = False,
     kernel_size: int = 31,
     tile: int = 256,
     chunks: int = 1,

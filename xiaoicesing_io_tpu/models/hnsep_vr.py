@@ -14,7 +14,7 @@ precomputed interpolation matrices (static shapes -> MXU matmuls).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -38,16 +38,24 @@ class Conv2DBNActiv(nn.Module):
     nout: int
     ksize: int = 3
     stride: int = 1
-    pad: int = 1
-    dilation: int = 1
+    pad: Any = 1
+    dilation: Any = 1
     activ: str = "relu"
 
     @nn.compact
     def __call__(self, x):
+        # pad/dilation may be per-axis (h, w) tuples, e.g. the anisotropic
+        # ASPP dilations (ref: nets.py:10 dilations=((4,2),(8,4),(12,6)))
+        pad = self.pad if isinstance(self.pad, (tuple, list)) else (self.pad, self.pad)
+        dil = (
+            self.dilation
+            if isinstance(self.dilation, (tuple, list))
+            else (self.dilation, self.dilation)
+        )
         x = nn.Conv(
             self.nout, (self.ksize, self.ksize), strides=(self.stride, self.stride),
-            padding=[(self.pad, self.pad), (self.pad, self.pad)],
-            kernel_dilation=(self.dilation, self.dilation), use_bias=False,
+            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            kernel_dilation=tuple(dil), use_bias=False,
             name="conv",
         )(x)
         x = BatchNorm(self.nout, name="bn")(x)
@@ -111,8 +119,10 @@ class Decoder(nn.Module):
 
 
 class ASPPModule(nn.Module):
+    """Anisotropic dilations: (freq, time) pairs (ref: nets.py:10)."""
+
     nout: int
-    dilations: Tuple[int, int, int] = (4, 8, 12)
+    dilations: Tuple[Tuple[int, int], ...] = ((4, 2), (8, 4), (12, 6))
 
     @nn.compact
     def __call__(self, x):

@@ -79,7 +79,7 @@ class AcousticModel(nn.Module):
             num_heads=cfg.get("num_heads", 2),
             use_pos_embed=cfg.get("use_pos_embed", True),
             use_rope=cfg.get("use_rope", False),
-            rel_pos=cfg.get("rel_pos", True),
+            rel_pos=cfg.get("rel_pos", False),
             variance_embeds=variance_embeds,
             use_key_shift_embed=cfg.get("use_key_shift_embed", False),
             use_speed_embed=cfg.get("use_speed_embed", False),
@@ -169,7 +169,7 @@ class VarianceModel(nn.Module):
         self, txt_tokens, midi, ph2word, ph_dur=None, word_dur=None,
         spk_id=None, ph_spk_mix_embed=None, infer=True, deterministic=True,
     ):
-        """-> (encoder_out [B, T_ph, H], dur_pred [B, T_ph] or None, spk_embed)."""
+        """-> (encoder_out [B, T_ph, H], dur_pred [B, T_ph] or None)."""
         if self.use_spk_id:
             if ph_spk_mix_embed is not None:
                 ph_spk_embed = ph_spk_mix_embed
@@ -296,7 +296,7 @@ class VarianceModel(nn.Module):
             num_heads=cfg.get("num_heads", 2),
             use_pos_embed=cfg.get("use_pos_embed", True),
             use_rope=cfg.get("use_rope", False),
-            rel_pos=cfg.get("rel_pos", True),
+            rel_pos=cfg.get("rel_pos", False),
             predict_dur=cfg.get("predict_dur", True),
             dur_hidden_size=dur_args.get("hidden_size", 512),
             dur_num_layers=dur_args.get("num_layers", 5),
@@ -321,19 +321,23 @@ class VarianceModel(nn.Module):
             )
             if cfg.get("use_melody_encoder", False):
                 margs = cfg.get("melody_encoder_args", {})
+
+                def _menc(key, default):
+                    # melody_encoder_args overrides, falling back to the
+                    # top-level key (ref: variance_encoder.py:94-95 get_hparam)
+                    return margs.get(key, cfg.get(key, default))
+
                 melody_encoder = MelodyEncoder(
-                    hidden_size=margs.get("hidden_size", 128),
+                    hidden_size=_menc("hidden_size", 256),
                     out_size=hidden,
-                    enc_layers=margs.get("enc_layers", 4),
-                    enc_ffn_kernel_size=margs.get(
-                        "enc_ffn_kernel_size", cfg.get("enc_ffn_kernel_size", 3)
-                    ),
-                    ffn_act=margs.get("ffn_act", cfg.get("ffn_act", "gelu")),
-                    dropout=margs.get("dropout", cfg.get("dropout", 0.1)),
-                    num_heads=margs.get("num_heads", cfg.get("num_heads", 2)),
-                    use_pos_embed=cfg.get("use_pos_embed", True),
-                    use_rope=cfg.get("use_rope", False),
-                    rel_pos=cfg.get("rel_pos", True),
+                    enc_layers=_menc("enc_layers", 4),
+                    enc_ffn_kernel_size=_menc("enc_ffn_kernel_size", 9),
+                    ffn_act=_menc("ffn_act", "gelu"),
+                    dropout=_menc("dropout", 0.1),
+                    num_heads=_menc("num_heads", 2),
+                    use_pos_embed=_menc("use_pos_embed", True),
+                    use_rope=_menc("use_rope", False),
+                    rel_pos=_menc("rel_pos", False),
                     use_glide_embed=cfg.get("use_glide_embed", False),
                     num_glide_types=len(cfg.get("glide_types", ["up", "down"])),
                     glide_embed_scale=cfg.get("glide_embed_scale", 11.313708498984760),

@@ -153,7 +153,6 @@ class FastNsfHifigan:
         self.dtype = dtype
         p = params["params"] if "params" in params else params
         h = config
-        num_k = len(h.resblock_kernel_sizes)
         get = lambda d: (np.asarray(d["kernel"]), np.asarray(d.get("bias")))
 
         folds = []  # fold factor per stage output
@@ -221,13 +220,14 @@ class FastNsfHifigan:
     # -- forward -------------------------------------------------------------
 
     def _apply(self, mel: jnp.ndarray, f0: jnp.ndarray,
-               sines: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               key: Optional[jax.Array] = None) -> jnp.ndarray:
         h = self.h
         dt = self.dtype
         num_k = len(h.resblock_kernel_sizes)
         res_dils = h.resblock_dilation_sizes
 
         if h.mini_nsf:
+            # the reference's mini-NSF source is deterministic (models.py:253-263)
             source_sr = h.sampling_rate / int(np.prod(h.upsample_rates[2:]))
             upp = int(np.prod(h.upsample_rates[:2]))
             har = fast_sine_gen(f0, upp, source_sr)  # [B, T*upp, 1]
@@ -244,17 +244,34 @@ class FastNsfHifigan:
             rad = rad + jnp.pad(rad_acc[:, :-1, :], [(0, 0), (1, 0), (0, 0)])
             wk, bk = self.source_linear  # [9, 1], [1]
             uv = (f0 > 0).astype(jnp.float32)[..., None]  # [B, T, 1]
+            if key is not None:
+                k_ini, k_noise = jax.random.split(key)
+                # SineGen random per-harmonic initial phases, harmonic 0 fixed
+                # (models.py:143-146); shared across the batch like the ref
+                rand_ini = jax.random.uniform(k_ini, (wk.shape[0],))
+                rand_ini = rand_ini.at[0].set(0.0)
+            else:
+                rand_ini = jnp.zeros((wk.shape[0],))
             merged = jnp.zeros_like(rad)
             for hm in range(wk.shape[0]):
                 merged = merged + float(wk[hm, 0]) * jnp.sin(
-                    2 * np.pi * (hm + 1) * rad
+                    2 * np.pi * ((hm + 1) * rad + rand_ini[hm])
                 )
-            merged = 0.1 * uv * merged + float(bk[0])
-            har = jnp.tanh(merged)  # [B, T, upp]
+            merged = 0.1 * uv * merged
+            if key is not None:
+                # SineGen additive noise (models.py:162-165): per-harmonic iid
+                # N(0,1) scaled by uv*0.003 + (1-uv)*sine_amp/3, then merged by
+                # the source linear.  Collapsed to one draw per sample with the
+                # exactly-equivalent distribution: sum_h w_h z_h = ||w||_2 z.
+                noise_amp = uv * 0.003 + (1.0 - uv) * (0.1 / 3.0)
+                w_norm = float(np.linalg.norm(np.asarray(wk)[:, 0]))
+                merged = merged + w_norm * noise_amp * jax.random.normal(
+                    k_noise, rad.shape, jnp.float32
+                )
+            har = jnp.tanh(merged + float(bk[0]))  # [B, T, upp]
             har = har.reshape(har.shape[0], -1, 1)  # [B, T*upp, 1]
 
         x = _conv_folded(mel, *self.w["conv_pre"], dtype=dt)  # F=1
-        F_cur = 1
         ri = 0
         for i, (u, F_prev, F_after_up, F_stage, ch) in enumerate(self.stage_meta):
             x = leaky_relu(x)
@@ -290,12 +307,11 @@ class FastNsfHifigan:
                 acc = hblk if acc is None else acc + hblk
                 ri += 1
             x = acc / num_k
-            F_cur = F_stage
         x = leaky_relu(x, 0.01)
         x = _conv_folded(x, *self.w["conv_post"], dtype=dt)  # [B, R, F_cur]
         x = jnp.tanh(x.astype(jnp.float32))
         B, R, Fc = x.shape
         return x.reshape(B, R * Fc)
 
-    def __call__(self, mel, f0):
-        return self._jitted(mel, f0)
+    def __call__(self, mel, f0, key=None):
+        return self._jitted(mel, f0, key)

@@ -44,11 +44,17 @@ class NsfHifiGAN:
             from .nsf_fast import FastNsfHifigan
 
             fast = FastNsfHifigan(self.vcfg, self.params, dtype=jnp.bfloat16)
-            self._spec2wav = lambda params, mel, f0: fast(mel, f0)
+            self._spec2wav = lambda params, mel, f0, key: fast(mel, f0, key)
         else:
-            self._spec2wav = jax.jit(
-                lambda params, mel, f0: self.generator.apply(params, mel, f0)
-            )
+            def _stock(params, mel, f0, key):
+                sine_key = noise_key = None
+                if key is not None:
+                    sine_key, noise_key = jax.random.split(key)
+                return self.generator.apply(
+                    params, mel, f0, sine_key=sine_key, noise_key=noise_key
+                )
+
+            self._spec2wav = jax.jit(_stock)
 
     def _check_params(self):
         pairs = [
@@ -63,9 +69,15 @@ class NsfHifiGAN:
                     f"{self.h[vk]} (vocoder)"
                 )
 
-    def spec2wav(self, mel: np.ndarray, f0: np.ndarray) -> np.ndarray:
+    def spec2wav(self, mel: np.ndarray, f0: np.ndarray, key=None) -> np.ndarray:
         """mel: [T, M] or [B, T, M] natural-log (or log10 per cfg mel_base);
-        f0: [T] or [B, T].  -> wav [T*hop] or [B, T*hop]."""
+        f0: [T] or [B, T].  -> wav [T*hop] or [B, T*hop].
+
+        ``key`` seeds the NSF source randomness (SineGen per-harmonic initial
+        phases + additive noise, ref models.py:143-165) — the reference draws
+        these from the torch global RNG on every call; pass a key derived from
+        the inference seed for the same behavior, or None for a deterministic
+        noise-free source (used by parity tests and validation logging)."""
         mel = np.asarray(mel, np.float32)
         f0 = np.asarray(f0, np.float32)
         squeeze = mel.ndim == 2
@@ -75,8 +87,10 @@ class NsfHifiGAN:
         if mel_base != "e":
             assert mel_base in (10, "10"), "mel_base must be 'e', '10' or 10."
             mel = 2.30259 * mel  # log10 -> ln
-        wav = np.asarray(self._spec2wav(self.params, jnp.asarray(mel), jnp.asarray(f0)),
-                         np.float32)
+        wav = np.asarray(
+            self._spec2wav(self.params, jnp.asarray(mel), jnp.asarray(f0), key),
+            np.float32,
+        )
         return wav[0] if squeeze else wav
 
 
@@ -108,7 +122,9 @@ class DDSP:
         self.model = torch.jit.load(str(model_path), map_location="cpu")
         self.model.eval()
 
-    def spec2wav(self, mel: np.ndarray, f0: np.ndarray) -> np.ndarray:
+    def spec2wav(self, mel: np.ndarray, f0: np.ndarray, key=None) -> np.ndarray:
+        # `key` accepted for interface uniformity; the jitted pc-ddsp module
+        # has no externally seedable randomness
         import torch
 
         mel = np.asarray(mel, np.float32)

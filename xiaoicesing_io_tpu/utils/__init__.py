@@ -98,6 +98,26 @@ def batch_by_size(
 _size_pat = re.compile(r"model_ckpt_steps_(\d+)")
 
 
+def key_from_seed(seed: "int | None", salt: int = 0):
+    """Canonical seed -> jax PRNG key recipe (32-bit masked, salted with
+    fold_in so diffusion noise and NSF source noise draw distinct streams).
+    Returns None for seed=None so callers can express 'no randomness'."""
+    if seed is None:
+        return None
+    import jax
+
+    key = jax.random.PRNGKey(int(seed) & 0xFFFFFFFF)
+    return jax.random.fold_in(key, salt) if salt else key
+
+
+def fresh_seed() -> int:
+    """Entropy for unseeded runs (the reference's seed=-1 leaves the torch
+    global RNG unseeded, so every invocation differs)."""
+    import os
+
+    return int.from_bytes(os.urandom(4), "little")
+
+
 def parse_ckpt_step(name: str) -> int | None:
     m = _size_pat.search(str(name))
     return int(m.group(1)) if m else None
