@@ -310,3 +310,86 @@ def test_profiler_trace_capture(tiny_binary, tmp_path):
     trace_dir = tmp_path / "exp_trace" / "trace"
     assert trace_dir.exists()
     assert any(trace_dir.rglob("*"))  # plugin wrote event/trace files
+
+
+def test_grad_accumulation_counts_optimizer_steps(tiny_binary, tmp_path):
+    """max_updates counts OPTIMIZER steps (Lightning max_steps semantics):
+    with accumulate_grad_batches=2, reaching step N must consume 2N
+    micro-batches, and the step-2 checkpoint reflects 2 real updates."""
+    root = tiny_binary
+    cfg = _acoustic_cfg(root, tmp_path / "exp_accum")
+    cfg.update(max_updates=2, accumulate_grad_batches=2, val_check_interval=2,
+               max_batch_size=1, num_sanity_val_steps=0)
+    if not (root / "binary_ac/train.data").exists():
+        from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+        AcousticBinarizer(cfg).process()
+    from xiaoicesing_io_tpu.training.tasks import build_acoustic_trainer
+
+    trainer = build_acoustic_trainer(cfg)
+    consumed = {"n": 0}
+    inner = trainer.collate
+
+    def counting_collate(items):
+        consumed["n"] += 1
+        return inner(items)
+
+    trainer.collate = counting_collate
+    trainer.fit()
+    assert consumed["n"] == 4  # 2 optimizer steps x accum 2
+    from xiaoicesing_io_tpu.training.checkpoint import list_checkpoints
+
+    steps = [int(p.name.rsplit("_", 1)[-1]) for p in list_checkpoints(cfg["work_dir"])]
+    assert max(steps) == 2
+    # MultiSteps actually applied 2 optimizer updates
+    def find_gradient_step(o):
+        if hasattr(o, "gradient_step"):
+            return int(o.gradient_step)
+        if isinstance(o, tuple):
+            for x in o:
+                r = find_gradient_step(x)
+                if r is not None:
+                    return r
+        return None
+
+    assert find_gradient_step(trainer.state.opt_state) == 2
+
+
+def test_prefetch_propagates_collate_errors(tiny_binary, tmp_path):
+    """A failing collate must fail the run, not silently end every epoch."""
+    root = tiny_binary
+    cfg = _acoustic_cfg(root, tmp_path / "exp_err")
+    if not (root / "binary_ac/train.data").exists():
+        from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+        AcousticBinarizer(cfg).process()
+    cfg.update(max_updates=2, num_sanity_val_steps=0)
+    from xiaoicesing_io_tpu.training.tasks import build_acoustic_trainer
+
+    trainer = build_acoustic_trainer(cfg)
+
+    def broken_collate(items):
+        raise KeyError("corrupt item")
+
+    trainer.collate = broken_collate
+    with pytest.raises(KeyError, match="corrupt item"):
+        trainer.fit()
+
+
+def test_resume_restores_epoch(tiny_binary, tmp_path):
+    """The saved epoch is restored on resume, so the sampler does not replay
+    the epoch-0 shuffle order after preemption."""
+    root = tiny_binary
+    cfg = _acoustic_cfg(root, tmp_path / "exp_epoch")
+    if not (root / "binary_ac/train.data").exists():
+        from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+        AcousticBinarizer(cfg).process()
+    cfg.update(max_updates=12, val_check_interval=4, num_sanity_val_steps=0)
+    from xiaoicesing_io_tpu.training.tasks import build_acoustic_trainer
+
+    trainer = build_acoustic_trainer(cfg)
+    trainer.fit()  # 4 items, batch budget -> multiple epochs
+    state, step, meta = trainer.ckpt.restore_latest(trainer.state, with_meta=True)
+    assert step == 12
+    assert meta.get("epoch", 0) > 0

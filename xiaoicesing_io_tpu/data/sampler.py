@@ -37,6 +37,8 @@ class DistributedBatchSampler:
         frame_count_grid: int = 6,
         seed: int = 0,
         drop_last: bool = False,
+        disallow_empty_batch: bool = True,
+        pad_batch_assignment: bool = True,
     ):
         if rank >= num_replicas or rank < 0:
             raise ValueError(f"Invalid rank {rank} for num_replicas {num_replicas}")
@@ -52,6 +54,8 @@ class DistributedBatchSampler:
         self.frame_count_grid = frame_count_grid
         self.seed = seed
         self.drop_last = drop_last
+        self.disallow_empty_batch = disallow_empty_batch
+        self.pad_batch_assignment = pad_batch_assignment
         self.epoch = 0
         self.batches: Optional[List[List[int]]] = None
         self._formed = None
@@ -80,7 +84,7 @@ class DistributedBatchSampler:
             indices, self.dataset.num_frames,
             max_batch_frames=self.max_batch_frames, max_batch_size=self.max_batch_size,
         )
-        if len(batches) < self.num_replicas:
+        if len(batches) < self.num_replicas and self.disallow_empty_batch:
             raise RuntimeError("There is not enough batch to assign to each node.")
 
         floored_total = (len(batches) // self.num_replicas) * self.num_replicas
@@ -103,7 +107,10 @@ class DistributedBatchSampler:
         floored = len(assignment)
         if self.rank < len(leftovers):
             assignment.append(leftovers[self.rank])
-        elif len(leftovers) > 0:
+        elif len(leftovers) > 0 and self.pad_batch_assignment:
+            # duplicate one batch so every replica sees an equal batch count
+            # (training only; the reference's val sampler leaves ranks uneven,
+            # utils/training_utils.py:162-165 + basics/base_task.py:359-369)
             assignment.append(assignment[self.epoch % floored])
 
         if (

@@ -98,13 +98,13 @@ class CheckpointManager:
         for p in deletable[: max(0, len(deletable) - self.num_ckpt_keep)]:
             shutil.rmtree(p)
 
-    def restore_latest(self, state) -> tuple:
-        """-> (state, step) — state unchanged if no checkpoint exists."""
+    def restore_latest(self, state, with_meta: bool = False) -> tuple:
+        """-> (state, step[, meta]) — state unchanged if no checkpoint exists."""
         path = latest_checkpoint(self.work_dir)
         if path is None:
-            return state, 0
+            return (state, 0, {}) if with_meta else (state, 0)
         state, meta = load_checkpoint(path, state, expected_category=self.category)
-        return state, meta["step"]
+        return (state, meta["step"], meta) if with_meta else (state, meta["step"])
 
 
 def load_checkpoint(path, state, expected_category: Optional[str] = None):
@@ -144,7 +144,11 @@ def load_params_for_inference(work_dir, cfg, ckpt_steps: Optional[int] = None):
     )
     if ckpt_steps is not None:
         ours = work_dir / f"model_ckpt_steps_{ckpt_steps}"
-        torch_ckpts = [p for p in torch_ckpts if str(ckpt_steps) in p.stem]
+        # exact step match (a substring test would let step 2000 load 12000)
+        torch_ckpts = [
+            p for p in torch_ckpts
+            if int(re.search(r"(\d+)", p.stem).group(1)) == int(ckpt_steps)
+        ]
     else:
         ours = latest_checkpoint(work_dir)
     if ours is not None and Path(ours).exists():

@@ -32,18 +32,6 @@ from .train_state import TrainState
 from .schedules import build_lr_schedule
 
 
-def freeze_params_mask(params, frozen_prefixes):
-    """Boolean pytree: True = trainable (ref freezing: base_task.py:93-108)."""
-    import flax
-
-    flat = flax.traverse_util.flatten_dict(params)
-    mask = {}
-    for k in flat:
-        path = ".".join(k)
-        mask[k] = not any(path.startswith(p.replace("model.", "")) for p in frozen_prefixes)
-    return flax.traverse_util.unflatten_dict(mask)
-
-
 class Trainer:
     def __init__(
         self,
@@ -98,11 +86,13 @@ class Trainer:
         )
 
         self.n_local = len(self.mesh.devices.flatten())
+        # max_updates / val_check_interval / lr schedule count OPTIMIZER steps
+        # (the reference's Lightning max_steps semantics); with gradient
+        # accumulation each optimizer step consumes `accum` micro-batches
+        self.accum = max(1, cfg.get("accumulate_grad_batches", 1))
         self.max_updates = cfg.get("max_updates", 160000)
         self.log_interval = cfg.get("log_interval", 100)
-        self.val_check_interval = cfg.get("val_check_interval", 2000) * cfg.get(
-            "accumulate_grad_batches", 1
-        )
+        self.val_check_interval = cfg.get("val_check_interval", 2000)
         self.num_devices = len(jax.devices())
 
     def _prefetch(self, sampler, depth: int = 2):
@@ -115,12 +105,17 @@ class Trainer:
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         stop = object()
 
+        class _Raised:
+            def __init__(self, exc):
+                self.exc = exc
+
         def producer():
             try:
                 for indices in sampler:
                     q.put(self.collate(self._pad_indices(indices)))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # surface in the main thread
+                q.put(_Raised(e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -128,6 +123,8 @@ class Trainer:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, _Raised):
+                raise item.exc
             yield item
 
     def _pad_indices(self, indices):
@@ -162,8 +159,9 @@ class Trainer:
         return s
 
     def fit(self):
-        self.state, start_step = self.ckpt.restore_latest(self.state)
-        step = start_step
+        self.state, start_step, meta = self.ckpt.restore_latest(self.state, with_meta=True)
+        step = start_step  # optimizer steps
+        micro = step * self.accum
         if step > 0:
             print(f"| resumed from step {step}")
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
@@ -194,7 +192,7 @@ class Trainer:
         if step == 0 and self.cfg.get("num_sanity_val_steps", 1) > 0:
             print("| running sanity validation")
             self.validate(0, key, sanity=True)
-        epoch = 0
+        epoch = int(meta.get("epoch", 0))
         t_log = time.time()
         frames_since_log = 0
         last_validated = -1
@@ -212,10 +210,15 @@ class Trainer:
                 if step >= self.max_updates:
                     break
                 if "mel2ph" in batch_np:
-                    frames_since_log += int(np.prod(batch_np["mel2ph"].shape))
+                    # real (non-padding) frames only, so the audio-seconds
+                    # metric is not inflated by bucket/batch padding
+                    frames_since_log += int((batch_np["mel2ph"] > 0).sum())
                 batch = shard_batch(batch_np, self.mesh)
                 key, sub = jax.random.split(key)
                 self.state, metrics = self.train_step(self.state, batch, sub)
+                micro += 1
+                if micro % self.accum != 0:
+                    continue  # mid-accumulation: no optimizer step happened
                 step += 1
                 if step == trace_stop_at:
                     jax.block_until_ready(metrics)
@@ -228,7 +231,7 @@ class Trainer:
                     lr = float(self.lr_schedule(step))
                     dt = time.time() - t_log
                     t_log = time.time()
-                    sps = self.log_interval / max(dt, 1e-9)
+                    sps = self.log_interval * self.accum / max(dt, 1e-9)
                     # BASELINE north-star unit: audio-seconds trained/s/chip
                     audio_sps = (
                         frames_since_log * self.cfg.get("hop_size", 512)
@@ -286,6 +289,9 @@ class Trainer:
             max_batch_size=self.cfg.get("max_val_batch_size", 1),
             num_replicas=self.num_replicas, rank=self.rank,
             shuffle_sample=False, sort_by_similar_size=False,
+            # ref val sampler: ranks may be uneven / empty rather than
+            # double-counting duplicated batches (basics/base_task.py:359-369)
+            disallow_empty_batch=False, pad_batch_assignment=False,
         )
         val_sampler.set_epoch(0)
         totals: Dict[str, float] = {}

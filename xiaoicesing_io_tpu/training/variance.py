@@ -119,7 +119,14 @@ def variance_losses(model, core, normalizers, cfg, params, batch, key,
             deterministic=deterministic, rngs=rngs,
             method=VarianceModel.pitch_condition,
         )
-        delta = batch["pitch"] - batch["base_pitch"]
+        if cfg.get("use_melody_encoder", False):
+            delta = batch["pitch"] - batch["base_pitch"]
+        else:
+            # the reference rebinds base_pitch = base*retake + pitch*~retake
+            # before taking the target (toplevel.py:274-280), so non-retaken
+            # frames — whose condition already embeds the GT pitch — train
+            # toward a ~zero delta ("keep the given pitch")
+            delta = (batch["pitch"] - batch["base_pitch"]) * pitch_retake
         gt_norm = normalizers["pitch"].norm(delta)
         out["pitch_loss"] = cfg.get("lambda_pitch_loss", 1.0) * diffusion_branch(
             pitch_cond, gt_norm, k_t, k_noise, VarianceModel.denoise_pitch
