@@ -247,6 +247,25 @@ def test_export_variance_graphs(tmp_path):
         assert (out / manifest["graphs"][g]).exists(), g
     assert manifest["pitch_post"]["repeat_bins"] == 8
     assert set(manifest["variance_post"]["ranges"]) == {"energy", "breathiness"}
+    # consumers need the loop parameters and per-graph input names
+    assert manifest["sampling"]["type"] in ("ddpm", "reflow")
+    assert "algorithm" in manifest["sampling"]
+    assert manifest["graph_inputs"]["pitch"] == ["x", "t", "condition"]
+    # word mode (predict_dur): linguistic takes word_dur — the quantity the
+    # consumer knows from the score — not ph_dur (the thing being predicted)
+    assert manifest["graph_inputs"]["linguistic"] == [
+        "tokens", "midi", "ph2word", "word_dur"
+    ]
+    from jax import export as _jexport
+
+    ling = _jexport.deserialize((out / "linguistic_dur.stablehlo").read_bytes())
+    _B, _T = 1, 64
+    enc_out, dur = ling.call(
+        np.ones((_B, _T), np.int32), np.full((_B, _T), 60, np.int32),
+        np.ones((_B, _T), np.int32), np.ones((_B, _T), np.int32),
+    )
+    assert np.asarray(enc_out).shape == (_B, _T, cfg["hidden_size"])
+    assert np.asarray(dur).shape == (_B, _T)
 
     # chain frame_condition -> pitch_pre -> pitch_step on the exported graphs
     from jax import export as jexport
@@ -369,3 +388,22 @@ def test_drop_spk_out_path_and_overwrite_guard(tiny_ckpt, tmp_path):
                       work_dir_root=str(wd.parent), out=str(dest))  # exists
     drop_speakers(wd.name, ["alice"], fill="zeros",
                   work_dir_root=str(wd.parent), out=str(dest), overwrite=True)
+
+
+def test_bench_acoustic_runs_for_ddpm_and_no_aux(tmp_path):
+    """bench_acoustic must dispatch per core type: ddpm cores take
+    x_start/speedup (not x_end/t_start), and configs without a shallow aux
+    decoder must not call aux_out (regression: TypeError on both)."""
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
+    )
+    cfg.update(
+        enc_layers=1, diffusion_type="ddpm", use_shallow_diffusion=False,
+        timesteps=8, diff_speedup=4,
+        backbone_args=Config(num_channels=16, num_layers=1, kernel_size=31,
+                             strong_cond=True),
+    )
+    from xiaoicesing_io_tpu.deployment.benchmarks import bench_acoustic
+
+    dt = bench_acoustic(cfg, tokens_n=4, frames=32, runs=1, steps=2)
+    assert dt > 0

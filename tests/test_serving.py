@@ -152,3 +152,31 @@ def test_dp_serving_distinct_noise_across_chunks(infer):
     dp = DataParallelSynthesizer(infer, mesh=make_mesh([jax.devices()[0]]))
     mels, _ = dp.synthesize_mels([seg, seg], seed=9, max_group_size=1)
     assert not np.allclose(mels[0], mels[1])
+
+
+def test_dp_serving_static_spk_mix_survives_dynamic_neighbor(ms_infer):
+    """A static mix [1,1,N] sharing a chunk with a dynamic mix [1,T,N] must
+    be BROADCAST over time, not zero-padded (regression: frames >= 1 lost
+    their speaker conditioning).  Row 0 gets identical noise for identical
+    batch shapes, so its mel must not depend on its neighbor's mix kind."""
+    from xiaoicesing_io_tpu.inference.serving import DataParallelSynthesizer
+
+    seg = dict(_segments(1)[0])
+    n_f0 = len(seg["f0_seq"].split())
+    timestep = float(seg["f0_timestep"])
+    seg_static = {**seg, "spk_mix": {"alice": 1.0}}
+    seg_static2 = {**seg, "spk_mix": {"bob": 1.0}}
+    seg_dynamic = {
+        **seg,
+        # two speakers with string proportions -> dynamic [1, T, N] mix that
+        # resolves to pure bob (alice weight 0 everywhere)
+        "spk_mix": {"bob": " ".join(["1.0"] * n_f0),
+                    "alice": " ".join(["0.0"] * n_f0)},
+        "spk_mix_timestep": str(timestep),
+    }
+    dp = DataParallelSynthesizer(ms_infer, mesh=make_mesh())
+    (ref_mel, ref_mel2), _f0 = dp.synthesize_mels([seg_static, seg_static2], seed=11)
+    (got_mel, dyn_mel), _f0b = dp.synthesize_mels([seg_static, seg_dynamic], seed=11)
+    np.testing.assert_allclose(got_mel, ref_mel, atol=1e-5)
+    # the all-bob dynamic row must match the static bob row (same noise row)
+    np.testing.assert_allclose(dyn_mel, ref_mel2, atol=1e-5)

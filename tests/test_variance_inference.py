@@ -165,3 +165,36 @@ def test_variance_preprocess_entire_corpus(infer):
                 assert batch["mel2ph"].shape[1] > 0
             n += 1
     assert n >= 190  # all eight sample songs
+
+
+def test_variance_dur_only_is_rhythm_aligned(infer, sample_segment):
+    """--predict dur alone must still pass through the rhythm regulator:
+    per-word sums of the predicted ph_dur equal the word durations
+    (regression: the dur-only early return skipped rr)."""
+    import flax
+
+    seg = dict(sample_segment)
+    seg.pop("ph_dur", None)
+    batch = infer.preprocess_input(seg, load_dur=False, load_pitch=False)
+    # bias the dur predictor so raw predictions are strictly positive (at
+    # random init exp(0)-offset clamps to 0 and rr has nothing to rescale)
+    flat = flax.traverse_util.flatten_dict(infer.params)
+    saved = dict(flat)
+    for k in flat:
+        if "dur_predictor" in ".".join(k) and k[-2:] == ("linear", "bias"):
+            flat[k] = np.ones_like(np.asarray(flat[k]))
+    infer.params = flax.traverse_util.unflatten_dict(flat)
+    infer._jitted.clear()
+    try:
+        dur, pitch, variances = infer.forward_model(batch, (True, False, False), seed=7)
+    finally:
+        infer.params = flax.traverse_util.unflatten_dict(saved)
+        infer._jitted.clear()
+    assert pitch is None and variances == {}
+    dur = np.asarray(dur)[0]
+    ph2word = np.asarray(batch["ph2word"])[0][: len(dur)]
+    word_dur = np.asarray(batch["word_dur"])[0]
+    assert dur.sum() > 0
+    sums = np.zeros(word_dur.shape[0] + 1, np.float64)
+    np.add.at(sums, ph2word, dur)
+    np.testing.assert_allclose(sums[1:], word_dur, rtol=1e-3, atol=0.5)

@@ -36,18 +36,34 @@ def bench_acoustic(cfg, params=None, tokens_n: int = 10, frames: int = 100,
         params = model.init(jax.random.PRNGKey(0), tokens, mel2ph, f0,
                             jnp.zeros((1, 1, frames, M)), jnp.zeros((1,)))
 
+    from ..models.diffusion.core import GaussianDiffusion
+
+    use_shallow = cfg.get("use_shallow_diffusion", False) and model.aux_decoder is not None
+
     def run(params, tokens, mel2ph, f0, key):
         cond = model.apply(params, tokens, mel2ph, f0, method=AcousticModel.condition)
-        aux = model.apply(params, cond, method=AcousticModel.aux_out)
+        aux = None
+        if use_shallow:
+            aux = model.apply(params, cond, method=AcousticModel.aux_out)
+            aux = aux.astype(jnp.float32)[:, None]
 
         def fn(x, t):
             return model.apply(params, x, t, cond,
                                method=AcousticModel.denoise).astype(jnp.float32)
 
-        x = core.inference(
-            fn, key, (1, 1, frames, M), x_end=aux.astype(jnp.float32)[:, None],
-            t_start=cfg.get("T_start_infer", 0.4), steps=steps,
-        )
+        shape = (1, 1, frames, M)
+        if isinstance(core, GaussianDiffusion):
+            x = core.inference(
+                fn, key, shape, x_start=aux,
+                speedup=max(1, cfg.get("diff_speedup", 1000 // max(1, steps))),
+                algorithm=cfg.get("diff_accelerator", "ddim"),
+            )
+        else:
+            x = core.inference(
+                fn, key, shape, x_end=aux,
+                t_start=cfg.get("T_start_infer", 0.4) if use_shallow else 0.0,
+                steps=steps,
+            )
         return normalizer.denorm(x)
 
     f = jax.jit(run)

@@ -96,15 +96,24 @@ def drop_speakers(exp: str, spk: List[str], fill: str = "zeros",
         if dest.exists():
             assert overwrite, f"{dest} exists; pass --overwrite to replace it"
             shutil.rmtree(dest)
+        ckptr.save(dest.resolve(), restored)
+        ckptr.wait_until_finished()
     else:
         assert overwrite, (
             f"refusing to edit {path} in place without --overwrite "
             f"(pass --out to write elsewhere)"
         )
         dest = path
+        # write the scrubbed checkpoint NEXT TO the original and swap only
+        # after the save succeeded, so a failure mid-save cannot destroy the
+        # experiment's only checkpoint
+        tmp = path.with_name(path.name + ".scrub_tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        ckptr.save(tmp.resolve(), restored)
+        ckptr.wait_until_finished()
         shutil.rmtree(path)
-    ckptr.save(dest.resolve(), restored)
-    ckptr.wait_until_finished()
+        tmp.rename(path)
     if meta is not None:
         (dest / "meta.json").write_text(meta)
     what = f"all speakers except {sorted(ids)}" if retain else f"speakers {sorted(ids)}"

@@ -71,6 +71,44 @@ def _export_fn(fn, args, path: Path, name: str, fmt: str = "stablehlo"):
     raise ValueError(f"unknown export format {fmt!r}; choose from {FORMATS}")
 
 
+def _sampling_block(cfg) -> dict:
+    """Diffusion-loop parameters a consumer needs to drive the exported
+    ``*_step`` graphs (the reference bakes these into the ONNX loop; our
+    step graphs leave the loop to the consumer, so the manifest records
+    them)."""
+    if cfg.get("diffusion_type", "ddpm") == "reflow":
+        shallow = cfg.get("use_shallow_diffusion", False)
+        return {
+            "type": "reflow",
+            "algorithm": cfg.get("sampling_algorithm", "euler"),
+            "steps": cfg.get("sampling_steps", 20),
+            "t_start_infer": cfg.get("T_start_infer", 0.0) if shallow else 0.0,
+            "time_scale_factor": cfg.get("time_scale_factor", 1000),
+        }
+    timesteps = cfg.get("timesteps", 1000)
+    return {
+        "type": "ddpm",
+        "algorithm": cfg.get("diff_accelerator", "ddim"),
+        "timesteps": timesteps,
+        "k_step_infer": cfg.get("K_step_infer", cfg.get("K_step", timesteps)),
+        "speedup": cfg.get("diff_speedup", 10),
+    }
+
+
+def _speaker_names(cfg, export_spk=None) -> list:
+    """Names a consumer can expect .emb attachments for."""
+    names = []
+    spk_map_path = Path(cfg.get("work_dir", ".")) / "spk_map.json"
+    if cfg.get("use_spk_id", False) and spk_map_path.exists():
+        with open(spk_map_path) as f:
+            names = sorted(json.load(f).keys())
+    for entry in export_spk or []:
+        key = entry.partition("=")[0]
+        if key not in names:
+            names.append(key)
+    return names
+
+
 def _write_attachments(cfg, out_dir: Path, encoder: TokenTextEncoder, params):
     dict_path = locate_dictionary(cfg.get("dictionary"), cfg.get("work_dir"))
     (out_dir / "dictionary.txt").write_bytes(Path(dict_path).read_bytes())
@@ -237,7 +275,8 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         "use_breathiness_embed": cfg.get("use_breathiness_embed", False),
         "use_voicing_embed": cfg.get("use_voicing_embed", False),
         "use_tension_embed": cfg.get("use_tension_embed", False),
-        "speakers": [],
+        "speakers": _speaker_names(cfg, export_spk),
+        "sampling": _sampling_block(cfg),
     }
     _write_attachments(cfg, out, encoder, params)
     with open(out / "dsconfig.yaml", "w") as f:
@@ -279,21 +318,41 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
     midi = jnp.zeros((B, T_ph), jnp.int32)
     ph2word = jnp.ones((B, T_ph), jnp.int32)
     ph_dur = jnp.ones((B, T_ph), jnp.int32)
+    word_dur = jnp.ones((B, T_ph), jnp.int32)  # [B, T_w], T_w <= T_ph
     spk_embed_in = jnp.zeros((B, 1, H), jnp.float32)
     spk_input = use_spk and spk_const is None
+    word_mode = cfg.get("predict_dur", True)
 
-    def linguistic(tokens, midi, ph2word, ph_dur, ph_spk_mix_embed=None):
-        enc, dur = model.apply(
-            params, tokens, midi, ph2word, ph_dur=ph_dur, infer=True,
-            ph_spk_mix_embed=(spk_const if spk_const is not None
-                              else ph_spk_mix_embed),
-            method=VarianceModel.encode,
-        )
-        return (enc, dur) if dur is not None else enc
+    if word_mode:
+        # word mode: the consumer knows word durations (from the score), not
+        # ph_dur — match the reference's word-mode linguistic input surface
+        # (deployment/modules/toplevel.py:197 forward_linguistic_encoder_word)
+        def linguistic(tokens, midi, ph2word, word_dur, ph_spk_mix_embed=None):
+            enc, dur = model.apply(
+                params, tokens, midi, ph2word, word_dur=word_dur, infer=True,
+                ph_spk_mix_embed=(spk_const if spk_const is not None
+                                  else ph_spk_mix_embed),
+                method=VarianceModel.encode,
+            )
+            return (enc, dur) if dur is not None else enc
 
-    ling_args = (tokens, midi, ph2word, ph_dur)
+        ling_args = (tokens, midi, ph2word, word_dur)
+        ling_names = ["tokens", "midi", "ph2word", "word_dur"]
+    else:
+        def linguistic(tokens, midi, ph2word, ph_dur, ph_spk_mix_embed=None):
+            enc, dur = model.apply(
+                params, tokens, midi, ph2word, ph_dur=ph_dur, infer=True,
+                ph_spk_mix_embed=(spk_const if spk_const is not None
+                                  else ph_spk_mix_embed),
+                method=VarianceModel.encode,
+            )
+            return (enc, dur) if dur is not None else enc
+
+        ling_args = (tokens, midi, ph2word, ph_dur)
+        ling_names = ["tokens", "midi", "ph2word", "ph_dur"]
     if spk_input:
         ling_args = ling_args + (spk_embed_in,)
+        ling_names.append("ph_spk_mix_embed")
     _export_fn(linguistic, ling_args, out, "linguistic_dur", fmt)
 
     mel2ph = jnp.zeros((B, T_f), jnp.int32)
@@ -319,6 +378,12 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
     graphs = {
         "linguistic": f"linguistic_dur.{fmt}",
         "frame_condition": f"frame_condition.{fmt}",
+    }
+    graph_inputs = {
+        "linguistic": ling_names,
+        "frame_condition": (
+            ["encoder_out", "mel2ph"] + (["spk_mix_embed"] if spk_input else [])
+        ),
     }
     if model.predict_pitch:
         pargs = cfg.get("pitch_prediction_args", {})
@@ -373,6 +438,8 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         _export_fn(pitch_step, (xp, t, cond), out, "pitch_step", fmt)
         graphs["pitch_pre"] = f"pitch_pre.{fmt}"
         graphs["pitch"] = f"pitch_step.{fmt}"
+        graph_inputs["pitch_pre"] = list(pre_names)
+        graph_inputs["pitch"] = ["x", "t", "condition"]
     if model.predict_variances:
         vargs = cfg.get("variances_prediction_args", {})
         n = len(model.variance_prediction_list)
@@ -394,12 +461,17 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         _export_fn(var_step, (xv, t, cond), out, "variance_step", fmt)
         graphs["variance_pre"] = f"variance_pre.{fmt}"
         graphs["variance"] = f"variance_step.{fmt}"
+        graph_inputs["variance_pre"] = ["condition", "pitch"]
+        graph_inputs["variance"] = ["x", "t", "condition"]
 
     manifest = {
         "model_type": "variance",
         "diffusion_type": cfg.get("diffusion_type", "ddpm"),
         "phonemes": "phonemes.txt",
         "graphs": graphs,
+        "graph_inputs": graph_inputs,
+        "speakers": _speaker_names(cfg, export_spk),
+        "sampling": _sampling_block(cfg),
         "sample_rate": cfg["audio_sample_rate"],
         "hop_size": cfg["hop_size"],
         "predict_dur": cfg.get("predict_dur", True),

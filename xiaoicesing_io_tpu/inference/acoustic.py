@@ -252,7 +252,8 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                 jb[k] = jnp.asarray(v)
             elif v.shape[1] == length:
                 pad = [(0, 0), (0, padded_len - length)] + [(0, 0)] * (v.ndim - 2)
-                jb[k] = jnp.asarray(np.pad(v, pad))
+                mode = "edge" if k == "spk_mix_value" else "constant"
+                jb[k] = jnp.asarray(np.pad(v, pad, mode=mode))
             else:
                 jb[k] = jnp.asarray(v)
         fn = self._jitted.get(padded_len)

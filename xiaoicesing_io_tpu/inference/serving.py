@@ -32,11 +32,11 @@ from ..utils import key_from_seed
 from .acoustic import DiffSingerAcousticInfer, _bucket
 
 
-def _pad_rows(v: np.ndarray, target_len: int) -> np.ndarray:
+def _pad_rows(v: np.ndarray, target_len: int, mode: str = "constant") -> np.ndarray:
     """Pad [1, T, ...] time axis to target_len."""
     if v.ndim >= 2 and v.shape[1] != target_len:
         pad = [(0, 0), (0, target_len - v.shape[1])] + [(0, 0)] * (v.ndim - 2)
-        return np.pad(v, pad)
+        return np.pad(v, pad, mode=mode)
     return v
 
 
@@ -101,7 +101,13 @@ class DataParallelSynthesizer:
                     # broadcast dims (static speaker mixes) and must NOT be
                     # padded — same rule as forward_model
                     rows = [
-                        _pad_rows(np.asarray(batches[i][k]), padded_len)
+                        _pad_rows(
+                            np.asarray(batches[i][k]), padded_len,
+                            # speaker-mix weights continue their edge value so
+                            # padded frames keep the conditioning (the conv
+                            # receptive field reaches back into real frames)
+                            mode="edge" if k == "spk_mix_value" else "constant",
+                        )
                         if k not in ("tokens", "spk_mix_id")
                         and np.asarray(batches[i][k]).ndim >= 2
                         and np.asarray(batches[i][k]).shape[1] != 1
@@ -115,6 +121,16 @@ class DataParallelSynthesizer:
                             max(r.shape[d] for r in rows)
                             for d in range(1, rows[0].ndim)
                         )
+                        if k == "spk_mix_value":
+                            # a static mix [1, 1, N] meeting a dynamic one
+                            # [1, T, N] in the same chunk must BROADCAST over
+                            # time, not zero-pad (zero weights would mute the
+                            # speaker conditioning from frame 1 on)
+                            rows = [
+                                np.repeat(r, wid[0], axis=1)
+                                if r.shape[1] == 1 and wid[0] > 1 else r
+                                for r in rows
+                            ]
                         rows = [
                             np.pad(r, [(0, 0)] + [
                                 (0, w - s) for w, s in zip(wid, r.shape[1:])

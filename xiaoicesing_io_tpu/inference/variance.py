@@ -26,6 +26,7 @@ from ..models.toplevel import VarianceModel, VARIANCE_CHECKLIST, build_variance_
 from ..models.diffusion.schedule import DiffusionSchedule
 from ..ops.seq import length_regulator, mel2ph_to_dur, rhythm_regulator
 from ..training.checkpoint import load_params_for_inference
+from ..utils import fresh_seed
 from ..utils.curves import interp_f0, resample_align_curve, smooth_curve
 from ..utils.music import hz_to_midi, midi_to_hz, note_to_midi
 from ..utils.phonemes import PhonemeDictionary, locate_dictionary
@@ -74,6 +75,7 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         )
         self.glide_map = {"none": 0, **{t: i + 1 for i, t in enumerate(glide_types)}}
 
+        self._jitted: Dict[Tuple[bool, bool, bool], callable] = {}
         self.auto_completion_mode = len(predictions) == 0
         self.global_predict_dur = "dur" in predictions and cfg["predict_dur"]
         self.global_predict_pitch = "pitch" in predictions and cfg["predict_pitch"]
@@ -274,6 +276,11 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
             v = batch.get(k)
             if v is not None and v.shape[1] == T_ph:
                 out[k] = np.pad(v, [(0, 0), (0, up(T_ph, tb) - T_ph)])
+        v = batch.get("ph_spk_mix_value")  # dynamic token-level mix [1, T_ph, N]
+        if v is not None and v.ndim == 3 and v.shape[1] == T_ph and T_ph > 1:
+            out["ph_spk_mix_value"] = np.pad(
+                v, [(0, 0), (0, up(T_ph, tb) - T_ph), (0, 0)], mode="edge"
+            )
         for k, mode in pads.items():
             v = batch.get(k)
             if v is not None and v.ndim >= 2 and v.shape[1] == T_s:
@@ -292,10 +299,26 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
                     out[k] = np.pad(v, pad)
         return out, T_s, T_ph
 
+    _JIT_KEYS = (
+        "tokens", "ph2word", "word_dur", "midi", "ph_dur", "mel2ph", "mel2note",
+        "base_pitch", "pitch", "expr", "note_midi", "note_dur", "note_rest",
+        "note_glide", "spk_mix_id", "spk_mix_value", "ph_spk_mix_id",
+        "ph_spk_mix_value",
+    )
+
     def forward_model(self, batch, flags: Tuple[bool, bool, bool], seed: int = 0):
         batch, T_s_real, T_ph_real = self._pad_batch(batch)
-        out = self._forward_padded(batch, flags, seed)
-        dur, pitch, variances = out
+        fn = self._jitted.get(flags)
+        if fn is None:
+            # one compiled program per predict-flag combination; the shape
+            # buckets from _pad_batch make jit's shape-keyed cache effective
+            import functools
+
+            fn = jax.jit(functools.partial(self._forward_padded, flags=flags))
+            self._jitted[flags] = fn
+        jbatch = {k: batch.get(k) for k in self._JIT_KEYS}
+        key = jax.random.PRNGKey(seed & 0xFFFFFFFF)
+        dur, pitch, variances = fn(self.params, jbatch, key)
         if dur is not None:
             dur = dur[:, :T_ph_real]
         if pitch is not None:
@@ -303,12 +326,10 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         variances = {k: v[:, :T_s_real] for k, v in variances.items()}
         return dur, pitch, variances
 
-    def _forward_padded(self, batch, flags: Tuple[bool, bool, bool], seed: int = 0):
+    def _forward_padded(self, params, batch, key, *, flags: Tuple[bool, bool, bool]):
         predict_dur, predict_pitch, predict_variances = flags
         cfg = self.cfg
         model = self.model
-        params = self.params
-        key = jax.random.PRNGKey(seed & 0xFFFFFFFF)
 
         spk_kwargs = {}
         ph_spk_mix_embed = spk_mix_embed = None
@@ -339,6 +360,10 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         )
         dur_pred_out = dur_pred if predict_dur else None
         if not predict_pitch and not predict_variances:
+            # rhythm-align even on the dur-only path (ds_variance.py:314-315
+            # applies rr unconditionally before returning)
+            if dur_pred_out is not None:
+                dur_pred_out = rhythm_regulator(dur_pred_out, ph2word, word_dur)
             return dur_pred_out, None, {}
 
         if batch["mel2ph"] is None:
@@ -460,9 +485,10 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         for run in range(num_runs):
+            run_seed = seed if seed >= 0 else fresh_seed()
             results = []
             for i, (param, flag, batch) in enumerate(zip(params_list, flags, batches)):
-                seg_seed = param.get("seed", seed if seed >= 0 else run * 1000 + i)
+                seg_seed = param.get("seed", run_seed + i)
                 dur_pred, pitch_pred, variance_pred = self.forward_model(
                     batch, flag, seed=int(seg_seed)
                 )
