@@ -383,7 +383,8 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         if predict_pitch:
             pitch_cond = model.apply(
                 params, condition, mel2ph, base_pitch,
-                pitch_expr=jnp.asarray(batch["expr"]) if "expr" in batch else None,
+                pitch_expr=jnp.asarray(batch["expr"])
+                if batch.get("expr") is not None else None,
                 note_midi=jnp.asarray(batch["note_midi"]),
                 note_rest=jnp.asarray(batch["note_rest"]),
                 note_dur=jnp.asarray(batch["note_dur"]),
