@@ -133,3 +133,44 @@ def test_variance_curves_sane():
     # tension is a logit of the non-base harmonic ratio: finite, mostly < 0
     assert np.isfinite(tens[mid]).all()
     assert np.median(tens[mid]) < 0
+
+
+def test_comb_mask_candidate_offsets_match_bruteforce():
+    """The vectorized nearest-harmonic candidate mask in _comb_mask_filter
+    must keep exactly the bins the per-harmonic brute-force loop keeps
+    (the reference semantics: OR over k of bins within half_width of
+    k*f0*n_fft/sr with center >= 1)."""
+    rng = np.random.default_rng(3)
+    sr, n_fft = SR, 2048
+    n_bins = n_fft // 2 + 1
+    n_frames = 40
+    half_width = 3.5
+    # include low f0 (dense harmonics -> candidate overlap regime)
+    f0 = rng.uniform(65.0, 880.0, size=n_frames)
+    lo_k, hi_k = 1, int(np.floor((sr / 2) / f0.min())) + 1
+
+    bins = np.arange(n_bins, dtype=np.float64)[None, :]
+    # brute force over all harmonics
+    brute = np.zeros((n_frames, n_bins), bool)
+    for k in range(lo_k, hi_k + 1):
+        center = f0 * k * n_fft / sr
+        lo = np.clip(center - half_width, 0, None)
+        hi = np.clip(center + half_width, None, n_bins)
+        brute |= (center[:, None] >= 1) & (bins >= lo[:, None]) & (bins < hi[:, None])
+
+    # vectorized candidate-offset form (mirrors dsp/hnsep.py:_comb_mask_filter)
+    spacing = (f0 * n_fft / sr)[:, None]
+    nearest = np.round(bins / spacing)
+    n_cand = int(np.ceil(half_width / max(spacing.min(), 1e-6))) + 1
+    fast = np.zeros((n_frames, n_bins), bool)
+    for d in range(-n_cand, n_cand + 1):
+        k = nearest + d
+        center = k * spacing
+        fast |= (
+            (k >= lo_k) & (k <= hi_k)
+            & (center >= 1)
+            & (bins >= np.clip(center - half_width, 0, None))
+            & (bins < np.clip(center + half_width, None, n_bins))
+        )
+
+    np.testing.assert_array_equal(fast, brute)

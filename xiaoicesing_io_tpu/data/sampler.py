@@ -107,10 +107,13 @@ class DistributedBatchSampler:
         floored = len(assignment)
         if self.rank < len(leftovers):
             assignment.append(leftovers[self.rank])
+            floored += 1
         elif len(leftovers) > 0 and self.pad_batch_assignment:
             # duplicate one batch so every replica sees an equal batch count
             # (training only; the reference's val sampler leaves ranks uneven,
             # utils/training_utils.py:162-165 + basics/base_task.py:359-369)
+            if not assignment:
+                raise RuntimeError("Cannot pad empty batch assignment.")
             assignment.append(assignment[self.epoch % floored])
 
         if (

@@ -118,24 +118,42 @@ class DecomposedWaveform:
         return f0
 
     def _comb_mask_filter(self, harmonic_lo: int, harmonic_hi: Optional[int]) -> np.ndarray:
-        """Resynthesize keeping bins near harmonics in [lo, hi] (1-based)."""
-        win_size = self._win_size
+        """Resynthesize keeping bins near harmonics in [lo, hi] (1-based).
+
+        Analysis runs at ``fft_size`` resolution — the comb decomposition is
+        the analogue of the reference's WORLD analysis, which extracts
+        spectra at ``fft_size`` (decomposed_waveform.py:117,129-130); the
+        per-harmonic isolation in :meth:`harmonic` keeps ``win_size`` for
+        exact parity with ``_kth_harmonic``.
+        """
+        n_fft = self._fft_size
         hop = self._hop_size
         sr = self._samplerate
-        window = nuttall_window(win_size)
-        spec = stft_centered(self._waveform, win_size, hop, window)
+        window = nuttall_window(n_fft)
+        spec = stft_centered(self._waveform, n_fft, hop, window)
         n_frames, n_bins = spec.shape
         f0 = self._aligned_f0(n_frames)
-        bins = np.arange(n_bins)[None, :]
         if harmonic_hi is None:
             harmonic_hi = int(np.floor((sr / 2) / max(f0.min(), 1.0))) + 1
+        # Vectorized over harmonics: a bin can only fall inside the
+        # half-width band of a harmonic within ceil(half_width/spacing) of
+        # the nearest one, so test those few candidates per (frame, bin)
+        # instead of looping over all ~sr/(2*f0_min) harmonics.
+        bins = np.arange(n_bins, dtype=np.float64)[None, :]  # [1, B]
+        spacing = (f0 * n_fft / sr)[:, None]  # bins between harmonics [T, 1]
+        nearest = np.round(bins / spacing)  # real-valued harmonic index [T, B]
+        n_cand = int(np.ceil(self._half_width / max(spacing.min(), 1e-6))) + 1
         mask = np.zeros((n_frames, n_bins), bool)
-        for k in range(harmonic_lo, harmonic_hi + 1):
-            center = f0 * k * win_size / sr  # [frames]
-            lo = np.clip(center - self._half_width, 0, None)
-            hi = np.clip(center + self._half_width, None, n_bins)
-            mask |= (center[:, None] >= 1) & (bins >= lo[:, None]) & (bins < hi[:, None])
-        return istft_centered(spec * mask, win_size, hop, window, len(self._waveform))
+        for d in range(-n_cand, n_cand + 1):
+            k = nearest + d
+            center = k * spacing
+            mask |= (
+                (k >= harmonic_lo) & (k <= harmonic_hi)
+                & (center >= 1)
+                & (bins >= np.clip(center - self._half_width, 0, None))
+                & (bins < np.clip(center + self._half_width, None, n_bins))
+            )
+        return istft_centered(spec * mask, n_fft, hop, window, len(self._waveform))
 
     # -- public API ---------------------------------------------------------
 

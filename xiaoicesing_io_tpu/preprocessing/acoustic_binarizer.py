@@ -61,16 +61,9 @@ class AcousticBinarizer(BaseBinarizer):
         self.items.update(meta)
 
     def _mel2ph(self, ph_dur_sec: np.ndarray, length: int) -> np.ndarray:
-        import jax.numpy as jnp
+        from .align import sec_to_mel2x
 
-        from ..ops.seq import length_regulator
-
-        ph_acc = np.round(np.cumsum(ph_dur_sec) / self.timestep + 0.5).astype(np.int64)
-        durs = np.diff(ph_acc, prepend=0)[None]
-        mel2ph = np.asarray(length_regulator(jnp.asarray(durs), out_len=length))[0]
-        if len(mel2ph) < length:
-            mel2ph = np.pad(mel2ph, (0, length - len(mel2ph)), mode="edge")
-        return mel2ph[:length].astype(np.int64)
+        return sec_to_mel2x(ph_dur_sec, length, self.timestep)
 
     def process_item(self, item_name, meta_data, binarization_args):
         cfg = self.cfg

@@ -44,17 +44,9 @@ class SpectrogramStretchAugmentation:
         self.mel_extractor = MelSpectrogram(MelConfig.from_config(cfg))
 
     def _mel2ph(self, ph_dur_sec: np.ndarray, length: int) -> np.ndarray:
-        import jax.numpy as jnp
+        from .align import sec_to_mel2x
 
-        from ..ops.seq import length_regulator
-
-        ph_acc = np.round(np.cumsum(ph_dur_sec) / self.timestep + 0.5).astype(np.int64)
-        durs = np.diff(ph_acc, prepend=0)[None]
-        mel2ph = np.asarray(length_regulator(jnp.asarray(durs), out_len=length))[0]
-        n = len(mel2ph)
-        if n < length:
-            mel2ph = np.pad(mel2ph, (0, length - n), mode="edge")
-        return mel2ph[:length]
+        return sec_to_mel2x(ph_dur_sec, length, self.timestep)
 
     @require_same_keys
     def process_item(self, item: dict, key_shift=0.0, speed=1.0, replace_spk_id=None) -> dict:

@@ -184,9 +184,10 @@ class BaseBinarizer:
         phoneme_map = {ph: 0 for ph in ph_required}
         ph_occurred: List[str] = []
         for item_name in self.items:
-            ph_occurred += self.items[item_name]["ph_seq"]
-            if len(ph_occurred) == 0:
+            ph_seq = self.items[item_name]["ph_seq"]
+            if len(ph_seq) == 0:
                 raise BinarizationError(f"Empty tokens in {item_name}.")
+            ph_occurred += ph_seq
         for ph in ph_occurred:
             if ph in phoneme_map:
                 phoneme_map[ph] += 1

@@ -201,18 +201,14 @@ class VarianceBinarizer(BaseBinarizer):
     # -- per item (ref: variance_binarizer.py:245-500) ----------------------
 
     def _frames_from_sec(self, dur_sec: np.ndarray) -> np.ndarray:
-        acc = np.round(np.cumsum(dur_sec) / self.timestep + 0.5).astype(np.int64)
-        return np.diff(acc, prepend=0)
+        from .align import frames_from_sec
+
+        return frames_from_sec(dur_sec, self.timestep)
 
     def _mel2x(self, dur: np.ndarray, length: int) -> np.ndarray:
-        import jax.numpy as jnp
+        from .align import dur_to_mel2x
 
-        from ..ops.seq import length_regulator
-
-        m = np.asarray(length_regulator(jnp.asarray(dur[None]), out_len=length))[0]
-        if len(m) < length:
-            m = np.pad(m, (0, length - len(m)), mode="edge")
-        return m[:length].astype(np.int64)
+        return dur_to_mel2x(dur, length)
 
     def process_item(self, item_name, meta_data, binarization_args):
         cfg = self.cfg
