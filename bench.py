@@ -67,17 +67,23 @@ def main():
 
         if USE_PALLAS:
             from xiaoicesing_io_tpu.models.backbones.lynx_pallas import (
+                lynx_cond_projections,
                 lynx_denoiser_apply,
             )
 
             bargs = cfg["backbone_args"]
+            # loop-invariant across the K sampler steps: compute once
+            cond_projs = lynx_cond_projections(
+                params, cond, num_layers=bargs["num_layers"]
+            )
 
             def velocity_fn(x, t):
                 return lynx_denoiser_apply(
-                    params, x, t, cond,
+                    params, x, t,
                     num_layers=bargs["num_layers"],
                     strong_cond=bargs.get("strong_cond", False),
                     kernel_size=bargs.get("kernel_size", 31),
+                    cond_projs=cond_projs,
                 ).astype(jnp.float32)
         else:
             def velocity_fn(x, t):

@@ -39,3 +39,15 @@ def test_lynx_pallas_apply_matches_flax(rng):
     np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999
+
+    # hoisted conditioner projections (the sampler-loop-invariant path) must
+    # be bit-identical to computing them inside the apply
+    from xiaoicesing_io_tpu.models.backbones.lynx_pallas import lynx_cond_projections
+
+    projs = lynx_cond_projections(p, cond, num_layers=2, compute_dtype=jnp.float32)
+    out_hoisted = np.asarray(lynx_denoiser_apply(
+        p, spec, step, num_layers=2, strong_cond=True,
+        kernel_size=31, tile=128, interpret=True, compute_dtype=jnp.float32,
+        cond_projs=projs,
+    ))
+    np.testing.assert_array_equal(out_hoisted, out)

@@ -194,16 +194,26 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                 and jax.default_backend() != "cpu"  # pallas needs TPU (or interpret)
             )
             if use_pallas and backbone_type == "lynxnet":
-                from ..models.backbones.lynx_pallas import lynx_denoiser_apply
+                from ..models.backbones.lynx_pallas import (
+                    lynx_cond_projections,
+                    lynx_denoiser_apply,
+                )
 
                 bargs = cfg.get("backbone_args", {})
+                # conditioner projections are invariant across sampler steps:
+                # compute once here, pass as scan constants (~1/7 of the
+                # denoiser's per-step FLOPs saved)
+                cond_projs = lynx_cond_projections(
+                    params, cond, num_layers=bargs.get("num_layers", 6)
+                )
 
                 def denoise_fn(x, t):
                     return lynx_denoiser_apply(
-                        params, x, t, cond,
+                        params, x, t,
                         num_layers=bargs.get("num_layers", 6),
                         strong_cond=bargs.get("strong_cond", False),
                         kernel_size=bargs.get("kernel_size", 31),
+                        cond_projs=cond_projs,
                     ).astype(jnp.float32)
             elif use_pallas and backbone_type == "wavenet":
                 from ..models.backbones.wavenet_pallas import wavenet_denoiser_apply

@@ -20,11 +20,42 @@ def _dense(p, x):
     return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
+def _resolve(params: dict) -> dict:
+    p = params["params"] if "params" in params else params
+    if "backbone" in p:
+        p = p["backbone"]
+    return p
+
+
+def lynx_cond_projections(
+    params: dict,
+    cond: jnp.ndarray,  # [B, T, H]
+    *,
+    num_layers: int = 6,
+    compute_dtype=jnp.bfloat16,
+):
+    """Per-layer conditioner projections, loop-invariant across sampler steps.
+
+    The K-step samplers call the denoiser with the SAME ``cond`` every step;
+    each layer's ``conditioner_projection`` matmul (~1/7 of the denoiser's
+    FLOPs at the acoustic shape) therefore only needs to run once.  Compute
+    these before the scan and pass them to :func:`lynx_denoiser_apply` via
+    ``cond_projs`` — the projections become scan constants instead of
+    per-step work.
+    """
+    p = _resolve(params)
+    cond = cond.astype(compute_dtype)
+    return tuple(
+        _dense(p[f"residual_layers_{i}"]["conditioner_projection"], cond)
+        for i in range(num_layers)
+    )
+
+
 def lynx_denoiser_apply(
     params: dict,  # LYNXNet param collection (params["params"]... resolved)
     spec: jnp.ndarray,  # [B, F, T, M]
     diffusion_step: jnp.ndarray,  # [B]
-    cond: jnp.ndarray,  # [B, T, H]
+    cond: jnp.ndarray = None,  # [B, T, H] (unused when cond_projs given)
     *,
     num_layers: int = 6,
     strong_cond: bool = False,
@@ -33,13 +64,13 @@ def lynx_denoiser_apply(
     chunks: int = 1,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    cond_projs=None,  # precomputed lynx_cond_projections (hoisted out of the loop)
 ) -> jnp.ndarray:
-    p = params["params"] if "params" in params else params
-    if "backbone" in p:
-        p = p["backbone"]
+    p = _resolve(params)
     B, F, T, M = spec.shape
     x = spec.transpose(0, 2, 1, 3).reshape(B, T, F * M).astype(compute_dtype)
-    cond = cond.astype(compute_dtype)
+    if cond_projs is None:
+        cond = cond.astype(compute_dtype)
     x = _dense(p["input_projection"], x)
     if not strong_cond:
         x = jax.nn.gelu(x, approximate=False)
@@ -51,7 +82,10 @@ def lynx_denoiser_apply(
 
     for i in range(num_layers):
         lp = p[f"residual_layers_{i}"]
-        cond_proj = _dense(lp["conditioner_projection"], cond)
+        if cond_projs is not None:
+            cond_proj = cond_projs[i].astype(compute_dtype)
+        else:
+            cond_proj = _dense(lp["conditioner_projection"], cond)
         if strong_cond:
             x = x + cond_proj
             res = x
