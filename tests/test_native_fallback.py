@@ -13,9 +13,12 @@ from xiaoicesing_io_tpu.dsp import native as native_mod
 from xiaoicesing_io_tpu.dsp.pitch import get_pitch
 
 
-pytestmark = pytest.mark.skipif(
-    native_mod.get_lib() is None, reason="native lib unavailable (no toolchain)"
-)
+@pytest.fixture(autouse=True)
+def _require_native():
+    # lazy check: get_lib() may shell out to make (up to 120 s); keep that
+    # out of collection time and only pay it when these tests actually run
+    if native_mod.get_lib() is None:
+        pytest.skip("native lib unavailable (no toolchain)")
 
 
 def _tone(sr=44100, dur=1.0, f0=220.0, vibrato=0.02):

@@ -130,19 +130,13 @@ def resblock_unit(
 
     # flatten sequences with a zero gap wide enough that no window crosses
     # into the neighbouring sequence (gap split: halo_l before, halo_r after)
-    period = T + halo
-    xp = jnp.pad(x, ((0, 0), (halo_l, halo_r), (0, 0))).reshape(B * period, C)
-    total_rows = B * period
+    from . import flatten_batch_windows
 
-    n_tiles = (total_rows + tile - 1) // tile
-    total = n_tiles * tile
-    xp = jnp.pad(xp, ((0, total + halo - xp.shape[0]), (0, 0)))
-    win_idx = (
-        jnp.arange(n_tiles)[:, None] * tile + jnp.arange(tile + halo)[None, :]
+    x_windows, period, total_rows, n_tiles = flatten_batch_windows(
+        x, halo_l, halo_r, tile
     )
-    x_windows = xp[win_idx]  # [n_tiles, tile + halo, C]
-
-    compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+    total = n_tiles * tile
+    compute_dtype = x.dtype
     out = pl.pallas_call(
         functools.partial(
             _kernel,

@@ -139,20 +139,14 @@ def lynx_conv_module(
     # flatten batches into one row axis with exactly k-1 zero rows between
     # sequences (the conv's own padding), so one kernel call covers the whole
     # batch with weights resident in VMEM and windows never mix sequences.
-    period = T + k - 1
-    xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0))).reshape(B * period, dim)
-    total_rows = B * period
+    # (BlockSpec indexing is block-granular, so halos are materialized in the
+    # gather; ~12% duplicated input traffic at tile=256, k=31)
+    from . import flatten_batch_windows
 
-    n_tiles = (total_rows + tile - 1) // tile
-    total = n_tiles * tile
-    xp = jnp.pad(xp, ((0, total + k - 1 - xp.shape[0]), (0, 0)))
-    # overlapping row windows per tile: [n_tiles, tile + k - 1, dim]
-    # (BlockSpec indexing is block-granular, so halos are materialized here;
-    # ~12% duplicated input traffic at tile=256, k=31)
-    win_idx = (
-        jnp.arange(n_tiles)[:, None] * tile + jnp.arange(tile + k - 1)[None, :]
+    x_windows, period, total_rows, n_tiles = flatten_batch_windows(
+        x, pad_l, pad_r, tile
     )
-    x_windows = xp[win_idx]  # [n_tiles, tile+k-1, dim]
+    total = n_tiles * tile
 
     dw = dw_kernel.reshape(k, inner)
     w_out_half, w_gate_half = w_in[:, :inner], w_in[:, inner:]

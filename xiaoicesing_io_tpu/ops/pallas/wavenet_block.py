@@ -79,24 +79,16 @@ def wavenet_block(
     projection halves; the caller adds x and scales by 1/sqrt(2)."""
     B, T, C = y.shape
     d = dilation
-    period = T + 2 * d
 
     compute_dtype = jnp.bfloat16 if y.dtype != jnp.float64 else y.dtype
-    yp = jnp.pad(y, ((0, 0), (d, d), (0, 0))).reshape(B * period, C)
-    # the kernel's window for output row r reads padded rows [r, r+2d], i.e.
-    # conv output t lands at padded row t — so cond_proj / the output slice
-    # align at offset 0 (only y carries the d-row left halo)
-    cp = jnp.pad(cond_proj, ((0, 0), (0, 2 * d), (0, 0))).reshape(B * period, 2 * C)
-    total_rows = B * period
+    from . import flatten_batch_windows
 
-    n_tiles = (total_rows + tile - 1) // tile
+    # window rows carry the d-row halo; conv output t lands at logical row t,
+    # so cond_proj / the output slice align at offset 0
+    y_windows, period, total_rows, n_tiles = flatten_batch_windows(y, d, d, tile)
     total = n_tiles * tile
-    yp = jnp.pad(yp, ((0, total + 2 * d - total_rows), (0, 0)))
+    cp = jnp.pad(cond_proj, ((0, 0), (0, 2 * d), (0, 0))).reshape(B * period, 2 * C)
     cp = jnp.pad(cp, ((0, total - total_rows), (0, 0)))
-    win_idx = (
-        jnp.arange(n_tiles)[:, None] * tile + jnp.arange(tile + 2 * d)[None, :]
-    )
-    y_windows = yp[win_idx]  # [n_tiles, tile + 2d, C]
 
     out = pl.pallas_call(
         functools.partial(_kernel, d=d, tile=tile),
