@@ -61,7 +61,14 @@ import torch  # noqa: E402
 from xiaoicesing_io_tpu.config import Config  # noqa: E402
 from xiaoicesing_io_tpu.utils import torch_ckpt  # noqa: E402
 
-ATOL = 2e-4
+# TPU transcendentals (gelu/softmax/exp) differ from torch CPU by up to
+# ~1e-3 even with jax_default_matmul_precision=highest; CPU keeps the tight
+# golden tolerance
+import jax as _jax
+
+_ON_TPU = _jax.default_backend() != "cpu"
+ATOL = 1e-3 if _ON_TPU else 2e-4
+RTOL_LOSS = 1e-4 if _ON_TPU else 1e-5
 
 BASE_HPARAMS = {
     "hidden_size": 64,
@@ -370,7 +377,7 @@ def test_loss_parity_vs_reference(rng):
             offset=1.0, loss_type=loss_type,
             lambda_pdur=0.3, lambda_wdur=1.0, lambda_sdur=3.0,
         ))
-        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=loss_type)
+        np.testing.assert_allclose(got, want, rtol=RTOL_LOSS, err_msg=loss_type)
 
     # diffusion / reflow: ours [B, F, T, M] vs reference [B, F, M, T]
     x = rng.standard_normal((B, 1, T_f, M)).astype(np.float32)
@@ -383,7 +390,7 @@ def test_loss_parity_vs_reference(rng):
         want = float(RefDiffusionLoss(loss_type)(xt, nt, torch.from_numpy(mask3d)))
         got = float(diffusion_loss(jnp.asarray(x), jnp.asarray(n),
                                    jnp.asarray(mask2d), loss_type=loss_type))
-        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=loss_type)
+        np.testing.assert_allclose(got, want, rtol=RTOL_LOSS, err_msg=loss_type)
 
     t = rng.uniform(0.01, 0.99, (B,)).astype(np.float32)
     for log_norm in (False, True):
@@ -392,4 +399,4 @@ def test_loss_parity_vs_reference(rng):
         got = float(reflow_loss(jnp.asarray(x), jnp.asarray(n), jnp.asarray(t),
                                 jnp.asarray(mask2d), loss_type="l2",
                                 log_norm=log_norm))
-        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"log_norm={log_norm}")
+        np.testing.assert_allclose(got, want, rtol=RTOL_LOSS, err_msg=f"log_norm={log_norm}")

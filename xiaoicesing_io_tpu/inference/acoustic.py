@@ -183,6 +183,9 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
             # parity (7.70 vs 7.67 ms/step at C=512 L=20, B=4xT=2048 — the
             # [*,512]x[512,1024] matmuls are MXU-bound and XLA fuses the
             # gating already; see docs/PerformanceNotes.md), so it is opt-in
+            # Mosaic needs lane-aligned channel dims; tiny (test-scale) models
+            # fall back to the XLA path
+            _nc = cfg.get("backbone_args", {}).get("num_channels", 1024)
             use_pallas = (
                 cfg.get("use_pallas_kernels", True)
                 and (
@@ -191,6 +194,7 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                     or (backbone_type == "wavenet"
                         and cfg.get("wavenet_use_pallas", False))
                 )
+                and _nc >= 128 and _nc % 128 == 0
                 and jax.default_backend() != "cpu"  # pallas needs TPU (or interpret)
             )
             if use_pallas and backbone_type == "lynxnet":
