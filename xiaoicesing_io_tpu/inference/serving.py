@@ -83,7 +83,6 @@ class DataParallelSynthesizer:
                 self.infer.preprocess_input(p, idx=i) for i, p in enumerate(segments)
             ]
         lengths = [int(b["mel2ph"].shape[1]) for b in batches]
-        cap = max_group_size or max(n_dev, 8)
 
         groups: Dict[int, List[int]] = defaultdict(list)
         for i, ln in enumerate(lengths):
@@ -91,7 +90,11 @@ class DataParallelSynthesizer:
 
         mels: List[Optional[np.ndarray]] = [None] * len(segments)
         f0s: List[Optional[np.ndarray]] = [None] * len(segments)
+        pending = []  # (chunk, device_out) — fetched only after ALL enqueued
         for padded_len, idxs in sorted(groups.items()):
+            # frame-budget chunking (~48k frames per call, same spirit as the
+            # training sampler) instead of a fixed tiny batch
+            cap = max_group_size or min(64, max(n_dev, 49152 // padded_len))
             for chunk_no, lo in enumerate(range(0, len(idxs), cap)):
                 chunk = idxs[lo : lo + cap]
                 pad_b = (-len(chunk)) % n_dev
@@ -148,10 +151,16 @@ class DataParallelSynthesizer:
                     jax.random.PRNGKey(seed & 0xFFFFFFFF),
                     padded_len * 4099 + chunk_no,
                 )
-                out = np.asarray(fn(self.infer.params, stacked, key))
-                for row, i in enumerate(chunk):
-                    mels[i] = out[row, : lengths[i]]
-                    f0s[i] = np.asarray(batches[i]["f0"])[0, : lengths[i]]
+                # enqueue only — JAX async dispatch lets chunk c+1's host-side
+                # stacking overlap chunk c's device execution, and on a
+                # high-latency link (the dev tunnel) deferring the fetches
+                # collapses one round-trip per chunk into one total
+                pending.append((chunk, fn(self.infer.params, stacked, key)))
+        for chunk, dev_out in pending:
+            out = np.asarray(dev_out)
+            for row, i in enumerate(chunk):
+                mels[i] = out[row, : lengths[i]]
+                f0s[i] = np.asarray(batches[i]["f0"])[0, : lengths[i]]
         return mels, f0s
 
     def vocode(self, mels: Sequence[np.ndarray], f0s: Sequence[np.ndarray],
