@@ -90,7 +90,18 @@ class DataParallelSynthesizer:
 
         mels: List[Optional[np.ndarray]] = [None] * len(segments)
         f0s: List[Optional[np.ndarray]] = [None] * len(segments)
-        pending = []  # (chunk, device_out) — fetched only after ALL enqueued
+
+        def _drain(chunk, dev_out):
+            out = np.asarray(dev_out)
+            for row, i in enumerate(chunk):
+                mels[i] = out[row, : lengths[i]]
+                f0s[i] = np.asarray(batches[i]["f0"])[0, : lengths[i]]
+
+        # deferred fetches: keep a few chunks in flight so async dispatch
+        # pipelines the device, but bound the window — every pending chunk
+        # holds its output batch in HBM
+        MAX_IN_FLIGHT = 4
+        pending = []  # (chunk, device_out)
         for padded_len, idxs in sorted(groups.items()):
             # frame-budget chunking (~48k frames per call, same spirit as the
             # training sampler) instead of a fixed tiny batch
@@ -156,11 +167,10 @@ class DataParallelSynthesizer:
                 # high-latency link (the dev tunnel) deferring the fetches
                 # collapses one round-trip per chunk into one total
                 pending.append((chunk, fn(self.infer.params, stacked, key)))
-        for chunk, dev_out in pending:
-            out = np.asarray(dev_out)
-            for row, i in enumerate(chunk):
-                mels[i] = out[row, : lengths[i]]
-                f0s[i] = np.asarray(batches[i]["f0"])[0, : lengths[i]]
+                if len(pending) > MAX_IN_FLIGHT:
+                    _drain(*pending.pop(0))
+        for item in pending:
+            _drain(*item)
         return mels, f0s
 
     def vocode(self, mels: Sequence[np.ndarray], f0s: Sequence[np.ndarray],
