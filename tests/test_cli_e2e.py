@@ -149,7 +149,7 @@ torch.save({{"generator": g.state_dict()}}, out / "model.ckpt")
 
 
 @pytest.mark.parametrize(
-    "script", ["binarize", "train", "infer", "vocode", "export", "drop_spk"]
+    "script", ["binarize", "train", "infer", "vocode", "export", "drop_spk", "eval"]
 )
 def test_script_wrapper_dispatch(script, tmp_path):
     """Every scripts/*.py wrapper must dispatch to a real CLI command
@@ -187,6 +187,10 @@ def test_cli_e2e_acoustic(corpus):
     p = _run([SCRIPTS / "infer.py", "acoustic", "song.ds", "--exp", "BOGUS"],
              cwd=corpus, check=False)
     assert p.returncode != 0 and "no matching exp" in (p.stdout + p.stderr)
+
+    # copy-synthesis eval over the binarized valid set
+    p = _run([SCRIPTS / "eval.py", "--exp", "E"], cwd=corpus, timeout=900)
+    assert "mean_mel_mae=" in p.stdout and "step 4 valid" in p.stdout
 
     if not have_vocoder:
         pytest.skip("reference repo unavailable: wav/vocode legs skipped")

@@ -85,6 +85,27 @@ def val_vocoder(wavs, config, out):
     copy_synthesis(list(wavs), cfg, out)
 
 
+@cli.command("eval", help="Copy-synthesis eval: mel MAE over a binarized set")
+@click.option("--exp", required=True)
+@click.option("--dataset", default="valid", type=click.Choice(["valid", "train"]))
+@click.option("--limit", type=int, required=False, help="Evaluate at most N items")
+@click.option("--seed", type=int, default=0)
+def eval_cmd(exp, dataset, limit, seed):
+    exp = _find_exp(exp)
+    cfg = load_config(None, exp_name=exp, infer=True)
+    from ..eval.copy_synthesis import evaluate_acoustic
+
+    report = evaluate_acoustic(cfg, dataset=dataset, limit=limit, seed=seed)
+    for it in report["items"]:
+        aux = "" if it["aux_mae"] is None else f"  aux_mae={it['aux_mae']:.4f}"
+        print(f"| {it['name']}: frames={it['frames']} "
+              f"mel_mae={it['mel_mae']:.4f}{aux}")
+    aux = ("" if "mean_aux_mae" not in report
+           else f"  mean_aux_mae={report['mean_aux_mae']:.4f}")
+    print(f"| step {report['step']} {report['dataset']}: "
+          f"mean_mel_mae={report['mean_mel_mae']:.4f}{aux}")
+
+
 @cli.command(help="Binarize a raw dataset")
 @click.option("--config", required=True)
 @click.option("--hparams", "hparams_str", required=False, default="")
