@@ -153,6 +153,14 @@ def test_acoustic_training_multispeaker_reflow(tiny_binary, tmp_path):
 
     assert len(list_checkpoints(cfg["work_dir"])) >= 1
 
+    # copy-synthesis eval must handle the multi-speaker path (spk_ids ->
+    # single-speaker mix) and report finite numbers
+    from xiaoicesing_io_tpu.eval.copy_synthesis import evaluate_acoustic
+
+    report = evaluate_acoustic(cfg, dataset="valid", limit=1)
+    assert np.isfinite(report["mean_mel_mae"])
+    assert report["items"][0]["frames"] > 0
+
 
 def test_sigterm_checkpoints_and_exits_cleanly(tiny_binary, tmp_path):
     """Preemption: SIGTERM mid-training saves a checkpoint at the next step

@@ -6,108 +6,110 @@ TensorBoard inspection); this productizes the BASELINE.json "mel MAE" metric:
 
     python scripts/eval.py --exp my_exp [--dataset valid] [--limit N]
 
-Per item: condition(GT mel2ph, GT f0) -> aux decoder -> shallow start ->
-sampler -> denorm, compared to the stored GT mel over non-padding frames.
+Each item goes through ``DiffSingerAcousticInfer``'s jitted synthesis
+function — the exact production path (checkpoint loading incl. torch
+conversion, dictionary work-dir fallback, Pallas kernels, sampler dispatch) —
+with the dataset's ground-truth mel2ph/f0/variances as conditioning, and the
+result is compared to the stored GT mel over non-padding frames.
 """
 
 from __future__ import annotations
 
+import re
+from pathlib import Path
 from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .metrics import mel_mae
 
 
+def _checkpoint_step(work_dir) -> int:
+    from ..training.checkpoint import latest_checkpoint
+
+    ck = latest_checkpoint(work_dir)
+    if ck is None:  # reference torch single-file checkpoints
+        cks = sorted(Path(work_dir).glob("model_ckpt_steps_*.ckpt"))
+        ck = cks[-1] if cks else None
+    if ck is None:
+        return -1
+    m = re.search(r"(\d+)", Path(ck).name)
+    return int(m.group(1)) if m else -1
+
+
+def _batch_from_item(cfg, infer, b: Dict[str, np.ndarray]) -> Dict:
+    """Map an AcousticDataset.collate batch (B=1) onto the synthesis-fn
+    input contract (inference/acoustic.py preprocess_input layout)."""
+    batch = {"tokens": b["tokens"], "mel2ph": b["mel2ph"], "f0": b["f0"]}
+    for v in infer.variances_to_embed:
+        batch[v] = b[v]
+    if cfg.get("use_key_shift_embed", False):
+        batch["key_shift"] = b["key_shift"]
+    if cfg.get("use_speed_embed", False):
+        batch["speed"] = b["speed"]
+    if cfg.get("use_spk_id", False):
+        # single-speaker "mix": the item's own speaker at weight 1
+        batch["spk_mix_id"] = b["spk_ids"].reshape(1, 1, 1).astype(np.int32)
+        batch["spk_mix_value"] = np.ones((1, 1, 1), np.float32)
+    return batch
+
+
 def evaluate_acoustic(
     cfg, dataset: str = "valid", limit: Optional[int] = None, seed: int = 0,
 ) -> Dict:
     """Returns {"items": [{name, frames, mel_mae, aux_mae}...],
-    "mean_mel_mae": float, "mean_aux_mae": float}."""
+    "mean_mel_mae": float[, "mean_aux_mae": float], "step": int}."""
     from ..data.dataset import AcousticDataset
+    from ..inference.acoustic import DiffSingerAcousticInfer
     from ..models.toplevel import AcousticModel
-    from ..training.acoustic import build_acoustic, init_acoustic_state
-    from ..training.checkpoint import CheckpointManager
-    from ..utils.phonemes import PhonemeDictionary
-    from ..utils.text_encoder import TokenTextEncoder
 
-    phdict = PhonemeDictionary.load(cfg["dictionary"])
-    enc = TokenTextEncoder(phdict.phoneme_list)
+    infer = DiffSingerAcousticInfer(cfg, load_vocoder=False)
     ds = AcousticDataset(cfg["binary_data_dir"], dataset, cfg)
-
-    model, core, normalizer = build_acoustic(cfg, enc.vocab_size)
-    state = init_acoustic_state(model, cfg, enc.vocab_size, jax.random.PRNGKey(0))
-    mgr = CheckpointManager(
-        cfg["work_dir"], category="acoustic",
-        num_ckpt_keep=cfg.get("num_ckpt_keep", 5),
-    )
-    state, step, _ = mgr.restore_latest(state, with_meta=True)
-    if step == 0:
-        raise FileNotFoundError(f"no checkpoint found in {cfg['work_dir']}")
-    params = {"params": state.params}
 
     use_shallow = cfg.get("use_shallow_diffusion", False)
     names = ds.metadata.get("names", [str(i) for i in range(len(ds))])
     n = len(ds) if limit is None else min(limit, len(ds))
+    if n <= 0:
+        raise ValueError(
+            f"nothing to evaluate: dataset '{dataset}' has {len(ds)} items, limit={limit}"
+        )
     items = []
     for i in range(n):
         b = ds.collate([i], pad_to_bucket=True)
-        tokens = jnp.asarray(b["tokens"])
-        mel2ph = jnp.asarray(b["mel2ph"])
-        f0 = jnp.asarray(b["f0"])
         gt = np.asarray(b["mel"])
+        mask = np.asarray(b["mel2ph"])[0] > 0
+        batch = _batch_from_item(cfg, infer, b)
 
-        kwargs = {}
-        if cfg.get("use_spk_id", False):
-            kwargs["spk_embed_id"] = jnp.asarray(b["spk_id"])
-        variances = {
-            k: jnp.asarray(b[k])
-            for k in ("energy", "breathiness", "voicing", "tension")
-            if k in b and cfg.get(f"use_{k}_embed", False)
-        }
-        if variances:
-            kwargs["variances"] = variances
-        if cfg.get("use_key_shift_embed", False) and "key_shift" in b:
-            kwargs["key_shift"] = jnp.asarray(b["key_shift"])
-        if cfg.get("use_speed_embed", False) and "speed" in b:
-            kwargs["speed"] = jnp.asarray(b["speed"])
+        pred = infer.forward_model(batch, seed=seed + i)  # jitted production path
+        mae = mel_mae(pred[0][mask], gt[0][mask])
 
-        cond = model.apply(params, tokens, mel2ph, f0,
-                           method=AcousticModel.condition, **kwargs)
-        mask = np.asarray(mel2ph)[0] > 0
-        shape = (1, 1, gt.shape[1], gt.shape[2])
-        x_end = None
         aux_mae = None
         if use_shallow:
-            aux = model.apply(params, cond, method=AcousticModel.aux_out)
-            aux = aux * (mel2ph > 0)[:, :, None]
-            aux_val = np.asarray(normalizer.denorm(aux[:, None]))
+            kwargs = {}
+            if "key_shift" in batch:
+                kwargs["key_shift"] = jnp.asarray(batch["key_shift"])
+            if "speed" in batch:
+                kwargs["speed"] = jnp.asarray(batch["speed"])
+            if "spk_mix_id" in batch:
+                table = infer.params["params"]["fs2"]["spk_embed"]["embedding"]
+                emb = jnp.take(jnp.asarray(table), jnp.asarray(batch["spk_mix_id"]), axis=0)
+                kwargs["spk_mix_embed"] = jnp.sum(
+                    emb * jnp.asarray(batch["spk_mix_value"])[..., None], axis=2
+                )
+            variances = {v: jnp.asarray(batch[v]) for v in infer.variances_to_embed}
+            if variances:
+                kwargs["variances"] = variances
+            cond = infer.model.apply(
+                infer.params, jnp.asarray(batch["tokens"]),
+                jnp.asarray(batch["mel2ph"]), jnp.asarray(batch["f0"]),
+                method=AcousticModel.condition, **kwargs,
+            )
+            aux = infer.model.apply(infer.params, cond, method=AcousticModel.aux_out)
+            aux = aux * (jnp.asarray(batch["mel2ph"]) > 0)[:, :, None]
+            aux_val = np.asarray(infer.normalizer.denorm(aux[:, None]))
             aux_mae = mel_mae(aux_val[0][mask], gt[0][mask])
-            x_end = aux.astype(jnp.float32)[:, None]
 
-        def denoise_fn(x, t):
-            return model.apply(params, x, t, cond,
-                               method=AcousticModel.denoise).astype(jnp.float32)
-
-        key = jax.random.fold_in(jax.random.PRNGKey(seed & 0xFFFFFFFF), i)
-        if cfg.get("diffusion_type", "reflow") == "ddpm":
-            x = core.inference(
-                denoise_fn, key, shape, x_start=x_end,
-                depth=cfg.get("K_step_infer", core.k_step),
-                speedup=cfg.get("diff_speedup", 10),
-                algorithm=cfg.get("diff_accelerator", "ddim"),
-            )
-        else:
-            x = core.inference(
-                denoise_fn, key, shape, x_end=x_end,
-                t_start=cfg.get("T_start_infer", cfg.get("T_start", 0.0)),
-                steps=int(cfg.get("sampling_steps", 20)),
-                algorithm=cfg.get("sampling_algorithm", "euler"),
-            )
-        pred = np.asarray(normalizer.denorm(x))[0]
-        mae = mel_mae(pred[mask], gt[0][mask])
         items.append({
             "name": str(names[i]) if i < len(names) else str(i),
             "frames": int(mask.sum()),
@@ -116,7 +118,7 @@ def evaluate_acoustic(
         })
 
     out = {
-        "step": int(step),
+        "step": _checkpoint_step(cfg["work_dir"]),
         "dataset": dataset,
         "items": items,
         "mean_mel_mae": float(np.mean([it["mel_mae"] for it in items])),

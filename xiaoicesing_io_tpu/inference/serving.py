@@ -167,7 +167,7 @@ class DataParallelSynthesizer:
                 # high-latency link (the dev tunnel) deferring the fetches
                 # collapses one round-trip per chunk into one total
                 pending.append((chunk, fn(self.infer.params, stacked, key)))
-                if len(pending) > MAX_IN_FLIGHT:
+                if len(pending) >= MAX_IN_FLIGHT:
                     _drain(*pending.pop(0))
         for item in pending:
             _drain(*item)
