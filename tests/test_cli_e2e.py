@@ -316,6 +316,10 @@ def test_cli_e2e_variance(variance_corpus):
     assert "training finished at step 4" in p.stdout
     assert (root / "checkpoints/V/model_ckpt_steps_4").exists()
 
+    # duration-metric eval over the binarized valid set
+    p = _run([SCRIPTS / "eval.py", "--exp", "V"], cwd=root, timeout=900)
+    assert "rhythm_corr=" in p.stdout and "ph_dur_acc=" in p.stdout
+
     # explicit --predict energy: dur/pitch are predicted internally as
     # prerequisites (score-only .ds) but only energy is written back
     # (ref: ds_variance.py write-back gating on the requested predictions)

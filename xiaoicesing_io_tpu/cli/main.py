@@ -93,6 +93,15 @@ def val_vocoder(wavs, config, out):
 def eval_cmd(exp, dataset, limit, seed):
     exp = _find_exp(exp)
     cfg = load_config(None, exp_name=exp, infer=True)
+    if "variance" in str(cfg.get("task_cls", "")).lower():
+        from ..eval.copy_synthesis import evaluate_variance
+
+        report = evaluate_variance(cfg, dataset=dataset, limit=limit)
+        print(f"| step {report['step']} {report['dataset']} "
+              f"({report['items_evaluated']} items): "
+              f"rhythm_corr={report['rhythm_corr']:.4f} "
+              f"ph_dur_acc={report['ph_dur_acc']:.4f}")
+        return
     from ..eval.copy_synthesis import evaluate_acoustic
 
     report = evaluate_acoustic(cfg, dataset=dataset, limit=limit, seed=seed)

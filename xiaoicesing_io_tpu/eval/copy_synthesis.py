@@ -126,3 +126,57 @@ def evaluate_acoustic(
     if use_shallow:
         out["mean_aux_mae"] = float(np.mean([it["aux_mae"] for it in items]))
     return out
+
+
+def evaluate_variance(
+    cfg, dataset: str = "valid", limit: Optional[int] = None,
+) -> Dict:
+    """Duration metrics (RhythmCorrectness @5%, PhonemeDurationAccuracy @20%)
+    of a trained variance model over a binarized set — the same objective
+    metrics the reference computes at validation
+    (ref: training/variance_task.py:242-323, modules/metrics/duration.py),
+    but over the full set instead of the first ``num_valid_plots`` items.
+    Requires ``predict_dur``; pitch/variance-curve accuracy stays a
+    validation-time metric (it needs GT-conditioned retake sampling)."""
+    from ..data.dataset import VarianceDataset
+    from ..models.toplevel import VarianceModel
+    from ..training.checkpoint import load_params_for_inference
+    from ..training.metrics import PhonemeDurationAccuracy, RhythmCorrectness
+    from ..training.variance import build_variance
+    from ..utils.phonemes import PhonemeDictionary, locate_dictionary
+    from ..utils.text_encoder import TokenTextEncoder
+
+    if not cfg.get("predict_dur", True):
+        raise ValueError("variance eval needs a duration predictor (predict_dur)")
+    phdict = PhonemeDictionary.load(
+        locate_dictionary(cfg.get("dictionary"), cfg.get("work_dir"))
+    )
+    enc = TokenTextEncoder(phdict.phoneme_list)
+    ds = VarianceDataset(cfg["binary_data_dir"], dataset, cfg)
+    model, _, _ = build_variance(cfg, enc.vocab_size)
+    params = load_params_for_inference(cfg["work_dir"], cfg)
+
+    n = len(ds) if limit is None else min(limit, len(ds))
+    if n <= 0:
+        raise ValueError(
+            f"nothing to evaluate: dataset '{dataset}' has {len(ds)} items, limit={limit}"
+        )
+    rhythm = RhythmCorrectness(tolerance=0.05)
+    ph_acc = PhonemeDurationAccuracy(tolerance=0.2)
+    for i in range(n):
+        b = ds.collate([i], pad_to_bucket=True)
+        _, dur_pred = model.apply(
+            params, jnp.asarray(b["tokens"]), jnp.asarray(b["midi"]),
+            jnp.asarray(b["ph2word"]), ph_dur=jnp.asarray(b["ph_dur"]),
+            infer=True, method=VarianceModel.encode,
+        )
+        mask = np.asarray(b["tokens"]) > 0
+        rhythm.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
+        ph_acc.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
+    return {
+        "step": _checkpoint_step(cfg["work_dir"]),
+        "dataset": dataset,
+        "items_evaluated": n,
+        "rhythm_corr": float(rhythm.compute()),
+        "ph_dur_acc": float(ph_acc.compute()),
+    }
