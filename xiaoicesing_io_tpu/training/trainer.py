@@ -95,13 +95,18 @@ class Trainer:
         self.val_check_interval = cfg.get("val_check_interval", 2000)
         self.num_devices = len(jax.devices())
 
-    def _prefetch(self, sampler, depth: int = 2):
+    def _prefetch(self, sampler, depth: Optional[int] = None):
         """Collate batches in a background thread so host-side data prep
-        overlaps device steps (the reference overlaps via DataLoader worker
-        processes; a thread suffices since collate is numpy-bound)."""
+        overlaps device steps (the reference overlaps via
+        ``ds_workers`` DataLoader worker processes with
+        ``dataloader_prefetch_factor`` batches in flight each; a single
+        thread suffices here since collate is numpy-bound, and the prefetch
+        window honors the same config key)."""
         import queue
         import threading
 
+        if depth is None:
+            depth = max(1, int(self.cfg.get("dataloader_prefetch_factor", 2)))
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         stop = object()
 
@@ -153,6 +158,7 @@ class Trainer:
             required_batch_count_multiple=self.cfg.get("accumulate_grad_batches", 1),
             frame_count_grid=self.cfg.get("sampler_frame_count_grid", 6),
             shuffle_sample=True,
+            sort_by_similar_size=self.cfg.get("sort_by_len", True),
             seed=self.cfg.get("seed", 0),
         )
         s.set_epoch(epoch)
