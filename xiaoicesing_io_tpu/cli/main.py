@@ -259,7 +259,7 @@ def variance(proj, exp, ckpt, predict, spk, out, title, num, key, expr, seed, st
 @click.argument("mel_path")
 @click.option("--exp", required=False)
 @click.option("--config", required=False)
-@click.option("--cls", "vocoder_cls", required=False,
+@click.option("--cls", "--class", "vocoder_cls", required=False,
               help="Vocoder class override (e.g. NsfHifiGAN, DDSP)")
 @click.option("--ckpt", "vocoder_ckpt", required=False,
               help="Vocoder checkpoint path override")
@@ -307,7 +307,9 @@ def vocode(mel_path, exp, config, vocoder_cls, vocoder_ckpt, out, title, seed):
         else:
             result = cross_fade(result, wav, current_length + silent)
         current_length = current_length + silent + wav.shape[0]
-    out_path = pathlib.Path(out or ".") / (
+    # default output next to the input mel, like the reference (vocode.py:55)
+    out_path = pathlib.Path(out) if out else pathlib.Path(mel_path).parent
+    out_path = out_path / (
         (title or pathlib.Path(mel_path).stem.removesuffix(".mel")) + ".wav"
     )
     out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -352,7 +354,9 @@ _format_opt = click.option(
 @click.option("--freeze_gender", type=float, required=False,
               help="Bake a static gender value [-1, 1] instead of a key_shift input")
 @click.option("--freeze_velocity", type=float, required=False,
-              help="Bake a static velocity instead of a speed input")
+              is_flag=False, flag_value=1.0,
+              help="Bake a static velocity instead of a speed input "
+                   "(bare flag = default velocity 1.0, like the reference)")
 @click.option("--freeze_spk", required=False,
               help="Bake a static speaker mix, e.g. 'alice' or 'alice:0.6|bob:0.4'")
 @_format_opt
@@ -374,7 +378,9 @@ def export_acoustic(exp, ckpt, out, freeze_gender, freeze_velocity, freeze_spk,
 @click.option("--ckpt", type=int, required=False)
 @click.option("--out", required=False)
 @click.option("--freeze_expr", type=float, required=False,
-              help="Bake a static expressiveness factor instead of an input")
+              is_flag=False, flag_value=1.0,
+              help="Bake a static expressiveness factor instead of an input "
+                   "(bare flag = default 1.0, like the reference)")
 @click.option("--freeze_glide", is_flag=True,
               help="Bake the default (none) glide embedding; drops the note_glide input")
 @click.option("--freeze_spk", required=False,
