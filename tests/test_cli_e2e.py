@@ -191,6 +191,7 @@ def test_cli_e2e_acoustic(corpus):
     # copy-synthesis eval over the binarized valid set
     p = _run([SCRIPTS / "eval.py", "--exp", "E"], cwd=corpus, timeout=900)
     assert "mean_mel_mae=" in p.stdout and "step 4 valid" in p.stdout
+    assert "mean_mcd=" in p.stdout
 
     if not have_vocoder:
         pytest.skip("reference repo unavailable: wav/vocode legs skipped")

@@ -108,11 +108,12 @@ def eval_cmd(exp, dataset, limit, seed):
     for it in report["items"]:
         aux = "" if it["aux_mae"] is None else f"  aux_mae={it['aux_mae']:.4f}"
         print(f"| {it['name']}: frames={it['frames']} "
-              f"mel_mae={it['mel_mae']:.4f}{aux}")
+              f"mel_mae={it['mel_mae']:.4f} mcd={it['mcd_db']:.3f}dB{aux}")
     aux = ("" if "mean_aux_mae" not in report
            else f"  mean_aux_mae={report['mean_aux_mae']:.4f}")
     print(f"| step {report['step']} {report['dataset']}: "
-          f"mean_mel_mae={report['mean_mel_mae']:.4f}{aux}")
+          f"mean_mel_mae={report['mean_mel_mae']:.4f} "
+          f"mean_mcd={report['mean_mcd_db']:.3f}dB{aux}")
 
 
 @cli.command(help="Binarize a raw dataset")

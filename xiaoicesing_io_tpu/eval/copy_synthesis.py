@@ -22,7 +22,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .metrics import mel_mae
+from .metrics import mcd, mel_mae
 
 
 def _checkpoint_step(work_dir) -> int:
@@ -83,6 +83,7 @@ def evaluate_acoustic(
 
         pred = infer.forward_model(batch, seed=seed + i)  # jitted production path
         mae = mel_mae(pred[0][mask], gt[0][mask])
+        item_mcd = mcd(pred[0][mask], gt[0][mask])  # BASELINE's MCD criterion
 
         aux_mae = None
         if use_shallow:
@@ -114,6 +115,7 @@ def evaluate_acoustic(
             "name": str(names[i]) if i < len(names) else str(i),
             "frames": int(mask.sum()),
             "mel_mae": float(mae),
+            "mcd_db": float(item_mcd),
             "aux_mae": None if aux_mae is None else float(aux_mae),
         })
 
@@ -122,6 +124,7 @@ def evaluate_acoustic(
         "dataset": dataset,
         "items": items,
         "mean_mel_mae": float(np.mean([it["mel_mae"] for it in items])),
+        "mean_mcd_db": float(np.mean([it["mcd_db"] for it in items])),
     }
     if use_shallow:
         out["mean_aux_mae"] = float(np.mean([it["aux_mae"] for it in items]))
