@@ -316,6 +316,9 @@ def test_cli_e2e_variance(variance_corpus):
              cwd=root, timeout=900)
     assert "training finished at step 4" in p.stdout
     assert (root / "checkpoints/V/model_ckpt_steps_4").exists()
+    # validation metrics cover duration AND sampled pitch
+    # (ref: variance_task.py valid_metrics rhythm_corr/ph_dur_acc/pitch_acc)
+    assert "rhythm_corr=" in p.stdout and "pitch_acc=" in p.stdout
 
     # duration-metric eval over the binarized valid set
     p = _run([SCRIPTS / "eval.py", "--exp", "V"], cwd=root, timeout=900)

@@ -199,52 +199,163 @@ def build_variance_trainer(cfg) -> Trainer:
 
     train_ds = VarianceDataset(cfg["binary_data_dir"], "train", cfg)
     valid_ds = VarianceDataset(cfg["binary_data_dir"], "valid", cfg)
-    extras = make_variance_validation_extras(cfg, model, valid_ds)
+    extras = make_variance_validation_extras(cfg, model, core, normalizers, valid_ds)
     return Trainer(
         cfg, state, train_step, val_losses, train_ds, valid_ds, category="variance",
         on_validation_extras=extras,
     )
 
 
-def make_variance_validation_extras(cfg, model, valid_ds):
-    """Objective metrics + duration figures on validation items
-    (ref: training/variance_task.py:242-323)."""
+def make_variance_validation_extras(cfg, model, core, normalizers, valid_ds):
+    """Objective metrics + figures on validation items: duration
+    (RhythmCorrectness @5%, PhonemeDurationAccuracy @20%), sampled pitch
+    (RawCurveAccuracy @0.5 semitones over voiced frames, pitch-vs-notes
+    figure), and sampled variance curves (curve figures)
+    (ref: training/variance_task.py:242-323, valid_metrics at :131-143)."""
     import jax.numpy as jnp
 
+    from ..models.diffusion.core import GaussianDiffusion
     from ..models.toplevel import VarianceModel
-    from .metrics import PhonemeDurationAccuracy, RhythmCorrectness
-    from ..utils.plot import dur_to_figure
+    from .metrics import PhonemeDurationAccuracy, RawCurveAccuracy, RhythmCorrectness
+    from ..utils.plot import curve_to_figure, dur_to_figure, pitch_notes_to_figure
+
+    predict_dur = cfg.get("predict_dur", True)
+    predict_pitch = cfg.get("predict_pitch", False)
+    variance_list = [
+        v for v in ("energy", "breathiness", "voicing", "tension")
+        if cfg.get(f"predict_{v}", False)
+    ]
+
+    def _sample(params, method, cond, key, shape):
+        def denoise(x, t):
+            return model.apply(params, x, t, cond, method=method)
+
+        if isinstance(core, GaussianDiffusion):
+            return core.inference(
+                denoise, key, shape,
+                depth=cfg.get("K_step_infer", core.k_step),
+                speedup=cfg.get("diff_speedup", 10),
+                algorithm=cfg.get("diff_accelerator", "ddim"),
+            )
+        return core.inference(
+            denoise, key, shape, t_start=0.0,
+            steps=cfg.get("sampling_steps", 20),
+            algorithm=cfg.get("sampling_algorithm", "euler"),
+        )
 
     def extras(trainer, step, key):
-        if not cfg.get("predict_dur", True):
-            return
         rhythm = RhythmCorrectness(tolerance=0.05)
         ph_acc = PhonemeDurationAccuracy(tolerance=0.2)
+        pitch_acc = RawCurveAccuracy(tolerance=0.5)
         params = {"params": jax.device_get(trainer.state.params)}
         n_plots = min(cfg.get("num_valid_plots", 10), len(valid_ds))
         for i in range(n_plots):
             batch = valid_ds.collate([i], pad_to_bucket=True)
-            _, dur_pred = model.apply(
+            mask = np.asarray(batch["tokens"]) > 0
+            if predict_dur:
+                _, dur_pred = model.apply(
+                    params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["midi"]),
+                    jnp.asarray(batch["ph2word"]), ph_dur=jnp.asarray(batch["ph_dur"]),
+                    infer=True, method=VarianceModel.encode,
+                )
+                dur_pred_np = np.asarray(dur_pred)
+                rhythm.update(dur_pred_np, batch["ph_dur"], batch["ph2word"], mask=mask)
+                ph_acc.update(dur_pred_np, batch["ph_dur"], batch["ph2word"], mask=mask)
+                if trainer.writer is not None and i < 3:
+                    T_real = int(mask[0].sum())
+                    fig = dur_to_figure(
+                        batch["ph_dur"][0][:T_real], dur_pred_np[0][:T_real],
+                        [str(t) for t in batch["tokens"][0][:T_real]],
+                    )
+                    trainer.writer.add_figure(f"validation/dur_{i}", fig, step)
+            if not (predict_pitch or variance_list):
+                continue
+            # sampled pitch / variance curves with GT alignment + full retake
+            # (ref: _validation_step runs run_model(infer=True) with the GT
+            # sample; retake defaults to all-true at infer)
+            mel2ph = jnp.asarray(batch["mel2ph"])
+            frame_mask = np.asarray(batch["mel2ph"])[0] > 0
+            T_real = int(frame_mask.sum())
+            encoder_out, _ = model.apply(
                 params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["midi"]),
                 jnp.asarray(batch["ph2word"]), ph_dur=jnp.asarray(batch["ph_dur"]),
                 infer=True, method=VarianceModel.encode,
             )
-            mask = np.asarray(batch["tokens"]) > 0
-            dur_pred_np = np.asarray(dur_pred)
-            rhythm.update(dur_pred_np, batch["ph_dur"], batch["ph2word"], mask=mask)
-            ph_acc.update(dur_pred_np, batch["ph_dur"], batch["ph2word"], mask=mask)
-            if trainer.writer is not None and i < 3:
-                T_real = int(mask[0].sum())
-                fig = dur_to_figure(
-                    batch["ph_dur"][0][:T_real], dur_pred_np[0][:T_real],
-                    [str(t) for t in batch["tokens"][0][:T_real]],
+            spk_kwargs = (
+                {"spk_id": jnp.asarray(batch["spk_ids"])}
+                if cfg.get("use_spk_id", False) else {}
+            )
+            condition = model.apply(
+                params, encoder_out, mel2ph, method=VarianceModel.frame_condition,
+                **spk_kwargs,
+            )
+            gt_pitch = np.asarray(batch["pitch"])
+            if predict_pitch:
+                pitch_cond = model.apply(
+                    params, condition, mel2ph, jnp.asarray(batch["base_pitch"]),
+                    note_midi=jnp.asarray(batch["note_midi"]),
+                    note_rest=jnp.asarray(batch["note_rest"]),
+                    note_dur=jnp.asarray(batch["note_dur"]),
+                    note_glide=jnp.asarray(batch["note_glide"])
+                    if batch.get("note_glide") is not None else None,
+                    mel2note=jnp.asarray(batch["mel2note"]),
+                    method=VarianceModel.pitch_condition,
                 )
-                trainer.writer.add_figure(f"validation/dur_{i}", fig, step)
-        print(f"| metrics @ step {step}: rhythm_corr={rhythm.compute():.4f} "
-              f"ph_dur_acc={ph_acc.compute():.4f}")
-        if trainer.writer is not None:
-            trainer.writer.add_scalar("metrics/rhythm_corr", rhythm.compute(), step)
-            trainer.writer.add_scalar("metrics/ph_dur_acc", ph_acc.compute(), step)
+                pargs = cfg.get("pitch_prediction_args", {})
+                shape = (1, 1, mel2ph.shape[1], pargs.get("repeat_bins", 64))
+                key, k_pitch = jax.random.split(key)
+                delta = _sample(params, VarianceModel.denoise_pitch,
+                                pitch_cond, k_pitch, shape)
+                pred_pitch = np.asarray(
+                    normalizers["pitch"].denorm(delta)
+                ) + np.asarray(batch["base_pitch"])
+                voiced = frame_mask & ~np.asarray(batch["uv"])[0]
+                pitch_acc.update(pred_pitch, gt_pitch, mask=voiced[None])
+                if trainer.writer is not None and i < 3:
+                    fig = pitch_notes_to_figure(
+                        gt_pitch[0][:T_real], pred_pitch[0][:T_real],
+                        note_midi=np.asarray(batch["note_midi"])[0],
+                        note_dur=np.asarray(batch["note_dur"])[0],
+                        note_rest=np.asarray(batch["note_rest"])[0],
+                    )
+                    trainer.writer.add_figure(f"validation/pitch_{i}", fig, step)
+            if variance_list:
+                var_cond = model.apply(
+                    params, condition, jnp.asarray(gt_pitch), {},
+                    method=VarianceModel.variance_condition,
+                )
+                vargs = cfg.get("variances_prediction_args", {})
+                n_feats = len(variance_list)
+                shape = (1, n_feats, mel2ph.shape[1],
+                         vargs.get("total_repeat_bins", 48) // n_feats)
+                key, k_var = jax.random.split(key)
+                x = _sample(params, VarianceModel.denoise_variance,
+                            var_cond, k_var, shape)
+                out = normalizers["variances"].denorm(x)
+                if n_feats == 1:
+                    out = [out]
+                if trainer.writer is not None and i < 3:
+                    for v_name, v_pred in zip(variance_list, out):
+                        fig = curve_to_figure(
+                            np.asarray(batch[v_name])[0][:T_real],
+                            np.asarray(v_pred)[0][:T_real], title=v_name,
+                        )
+                        trainer.writer.add_figure(
+                            f"validation/{v_name}_{i}", fig, step
+                        )
+        parts = []
+        scalars = {}
+        if predict_dur:
+            scalars["rhythm_corr"] = rhythm.compute()
+            scalars["ph_dur_acc"] = ph_acc.compute()
+        if predict_pitch:
+            scalars["pitch_acc"] = pitch_acc.compute()
+        for k, v in scalars.items():
+            parts.append(f"{k}={v:.4f}")
+            if trainer.writer is not None:
+                trainer.writer.add_scalar(f"metrics/{k}", v, step)
+        if parts:
+            print(f"| metrics @ step {step}: " + " ".join(parts))
 
     return extras
 
