@@ -320,9 +320,10 @@ def test_cli_e2e_variance(variance_corpus):
     # (ref: variance_task.py valid_metrics rhythm_corr/ph_dur_acc/pitch_acc)
     assert "rhythm_corr=" in p.stdout and "pitch_acc=" in p.stdout
 
-    # duration-metric eval over the binarized valid set
+    # duration + sampled-pitch metric eval over the binarized valid set
     p = _run([SCRIPTS / "eval.py", "--exp", "V"], cwd=root, timeout=900)
     assert "rhythm_corr=" in p.stdout and "ph_dur_acc=" in p.stdout
+    assert "pitch_acc=" in p.stdout
 
     # explicit --predict energy: dur/pitch are predicted internally as
     # prerequisites (score-only .ds) but only energy is written back

@@ -97,10 +97,12 @@ def eval_cmd(exp, dataset, limit, seed):
         from ..eval.copy_synthesis import evaluate_variance
 
         report = evaluate_variance(cfg, dataset=dataset, limit=limit)
+        metrics = " ".join(
+            f"{k}={report[k]:.4f}"
+            for k in ("rhythm_corr", "ph_dur_acc", "pitch_acc") if k in report
+        )
         print(f"| step {report['step']} {report['dataset']} "
-              f"({report['items_evaluated']} items): "
-              f"rhythm_corr={report['rhythm_corr']:.4f} "
-              f"ph_dur_acc={report['ph_dur_acc']:.4f}")
+              f"({report['items_evaluated']} items): {metrics}")
         return
     from ..eval.copy_synthesis import evaluate_acoustic
 

@@ -134,29 +134,38 @@ def evaluate_acoustic(
 def evaluate_variance(
     cfg, dataset: str = "valid", limit: Optional[int] = None,
 ) -> Dict:
-    """Duration metrics (RhythmCorrectness @5%, PhonemeDurationAccuracy @20%)
-    of a trained variance model over a binarized set — the same objective
-    metrics the reference computes at validation
-    (ref: training/variance_task.py:242-323, modules/metrics/duration.py),
-    but over the full set instead of the first ``num_valid_plots`` items.
-    Requires ``predict_dur``; pitch/variance-curve accuracy stays a
-    validation-time metric (it needs GT-conditioned retake sampling)."""
+    """Objective metrics of a trained variance model over a binarized set —
+    the same metrics the reference computes at validation
+    (ref: training/variance_task.py:242-323, modules/metrics/), but over the
+    full set instead of the first ``num_valid_plots`` items: duration
+    (RhythmCorrectness @5%, PhonemeDurationAccuracy @20%) when
+    ``predict_dur``, and sampled-pitch RawCurveAccuracy @0.5 semitones over
+    voiced frames when ``predict_pitch``."""
+    import jax
+
     from ..data.dataset import VarianceDataset
     from ..models.toplevel import VarianceModel
     from ..training.checkpoint import load_params_for_inference
-    from ..training.metrics import PhonemeDurationAccuracy, RhythmCorrectness
-    from ..training.variance import build_variance
+    from ..training.metrics import (
+        PhonemeDurationAccuracy, RawCurveAccuracy, RhythmCorrectness,
+    )
+    from ..training.variance import build_variance, sample_variance_inference
     from ..utils.phonemes import PhonemeDictionary, locate_dictionary
     from ..utils.text_encoder import TokenTextEncoder
 
-    if not cfg.get("predict_dur", True):
-        raise ValueError("variance eval needs a duration predictor (predict_dur)")
+    predict_dur = cfg.get("predict_dur", True)
+    predict_pitch = cfg.get("predict_pitch", False)
+    if not (predict_dur or predict_pitch):
+        raise ValueError(
+            "variance eval needs a duration or pitch predictor "
+            "(predict_dur / predict_pitch)"
+        )
     phdict = PhonemeDictionary.load(
         locate_dictionary(cfg.get("dictionary"), cfg.get("work_dir"))
     )
     enc = TokenTextEncoder(phdict.phoneme_list)
     ds = VarianceDataset(cfg["binary_data_dir"], dataset, cfg)
-    model, _, _ = build_variance(cfg, enc.vocab_size)
+    model, core, normalizers = build_variance(cfg, enc.vocab_size)
     params = load_params_for_inference(cfg["work_dir"], cfg)
 
     n = len(ds) if limit is None else min(limit, len(ds))
@@ -166,20 +175,35 @@ def evaluate_variance(
         )
     rhythm = RhythmCorrectness(tolerance=0.05)
     ph_acc = PhonemeDurationAccuracy(tolerance=0.2)
+    pitch_acc = RawCurveAccuracy(tolerance=0.5)
+    key = jax.random.PRNGKey(0)
     for i in range(n):
         b = ds.collate([i], pad_to_bucket=True)
-        _, dur_pred = model.apply(
-            params, jnp.asarray(b["tokens"]), jnp.asarray(b["midi"]),
-            jnp.asarray(b["ph2word"]), ph_dur=jnp.asarray(b["ph_dur"]),
-            infer=True, method=VarianceModel.encode,
-        )
-        mask = np.asarray(b["tokens"]) > 0
-        rhythm.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
-        ph_acc.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
-    return {
+        if predict_dur:
+            _, dur_pred = model.apply(
+                params, jnp.asarray(b["tokens"]), jnp.asarray(b["midi"]),
+                jnp.asarray(b["ph2word"]), ph_dur=jnp.asarray(b["ph_dur"]),
+                infer=True, method=VarianceModel.encode,
+            )
+            mask = np.asarray(b["tokens"]) > 0
+            rhythm.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
+            ph_acc.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
+        if predict_pitch:
+            key, k_item = jax.random.split(key)
+            pred_pitch, _ = sample_variance_inference(
+                cfg, model, core, normalizers, params, b, k_item,
+                want_pitch=True, want_variances=False,
+            )
+            voiced = (np.asarray(b["mel2ph"]) > 0) & ~np.asarray(b["uv"])
+            pitch_acc.update(np.asarray(pred_pitch), b["pitch"], mask=voiced)
+    out = {
         "step": _checkpoint_step(cfg["work_dir"]),
         "dataset": dataset,
         "items_evaluated": n,
-        "rhythm_corr": float(rhythm.compute()),
-        "ph_dur_acc": float(ph_acc.compute()),
     }
+    if predict_dur:
+        out["rhythm_corr"] = float(rhythm.compute())
+        out["ph_dur_acc"] = float(ph_acc.compute())
+    if predict_pitch:
+        out["pitch_acc"] = float(pitch_acc.compute())
+    return out

@@ -214,34 +214,14 @@ def make_variance_validation_extras(cfg, model, core, normalizers, valid_ds):
     (ref: training/variance_task.py:242-323, valid_metrics at :131-143)."""
     import jax.numpy as jnp
 
-    from ..models.diffusion.core import GaussianDiffusion
     from ..models.toplevel import VarianceModel
     from .metrics import PhonemeDurationAccuracy, RawCurveAccuracy, RhythmCorrectness
+    from .variance import sample_variance_inference
     from ..utils.plot import curve_to_figure, dur_to_figure, pitch_notes_to_figure
 
     predict_dur = cfg.get("predict_dur", True)
     predict_pitch = cfg.get("predict_pitch", False)
-    variance_list = [
-        v for v in ("energy", "breathiness", "voicing", "tension")
-        if cfg.get(f"predict_{v}", False)
-    ]
-
-    def _sample(params, method, cond, key, shape):
-        def denoise(x, t):
-            return model.apply(params, x, t, cond, method=method)
-
-        if isinstance(core, GaussianDiffusion):
-            return core.inference(
-                denoise, key, shape,
-                depth=cfg.get("K_step_infer", core.k_step),
-                speedup=cfg.get("diff_speedup", 10),
-                algorithm=cfg.get("diff_accelerator", "ddim"),
-            )
-        return core.inference(
-            denoise, key, shape, t_start=0.0,
-            steps=cfg.get("sampling_steps", 20),
-            algorithm=cfg.get("sampling_algorithm", "euler"),
-        )
+    variance_list = model.variance_prediction_list
 
     def extras(trainer, step, key):
         rhythm = RhythmCorrectness(tolerance=0.05)
@@ -273,42 +253,16 @@ def make_variance_validation_extras(cfg, model, core, normalizers, valid_ds):
             # sampled pitch / variance curves with GT alignment + full retake
             # (ref: _validation_step runs run_model(infer=True) with the GT
             # sample; retake defaults to all-true at infer)
-            mel2ph = jnp.asarray(batch["mel2ph"])
             frame_mask = np.asarray(batch["mel2ph"])[0] > 0
             T_real = int(frame_mask.sum())
-            encoder_out, _ = model.apply(
-                params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["midi"]),
-                jnp.asarray(batch["ph2word"]), ph_dur=jnp.asarray(batch["ph_dur"]),
-                infer=True, method=VarianceModel.encode,
-            )
-            spk_kwargs = (
-                {"spk_id": jnp.asarray(batch["spk_ids"])}
-                if cfg.get("use_spk_id", False) else {}
-            )
-            condition = model.apply(
-                params, encoder_out, mel2ph, method=VarianceModel.frame_condition,
-                **spk_kwargs,
-            )
             gt_pitch = np.asarray(batch["pitch"])
-            if predict_pitch:
-                pitch_cond = model.apply(
-                    params, condition, mel2ph, jnp.asarray(batch["base_pitch"]),
-                    note_midi=jnp.asarray(batch["note_midi"]),
-                    note_rest=jnp.asarray(batch["note_rest"]),
-                    note_dur=jnp.asarray(batch["note_dur"]),
-                    note_glide=jnp.asarray(batch["note_glide"])
-                    if batch.get("note_glide") is not None else None,
-                    mel2note=jnp.asarray(batch["mel2note"]),
-                    method=VarianceModel.pitch_condition,
-                )
-                pargs = cfg.get("pitch_prediction_args", {})
-                shape = (1, 1, mel2ph.shape[1], pargs.get("repeat_bins", 64))
-                key, k_pitch = jax.random.split(key)
-                delta = _sample(params, VarianceModel.denoise_pitch,
-                                pitch_cond, k_pitch, shape)
-                pred_pitch = np.asarray(
-                    normalizers["pitch"].denorm(delta)
-                ) + np.asarray(batch["base_pitch"])
+            key, k_item = jax.random.split(key)
+            pred_pitch, variances_pred = sample_variance_inference(
+                cfg, model, core, normalizers, params, batch, k_item,
+                want_pitch=predict_pitch, want_variances=bool(variance_list),
+            )
+            if pred_pitch is not None:
+                pred_pitch = np.asarray(pred_pitch)
                 voiced = frame_mask & ~np.asarray(batch["uv"])[0]
                 pitch_acc.update(pred_pitch, gt_pitch, mask=voiced[None])
                 if trainer.writer is not None and i < 3:
@@ -319,30 +273,13 @@ def make_variance_validation_extras(cfg, model, core, normalizers, valid_ds):
                         note_rest=np.asarray(batch["note_rest"])[0],
                     )
                     trainer.writer.add_figure(f"validation/pitch_{i}", fig, step)
-            if variance_list:
-                var_cond = model.apply(
-                    params, condition, jnp.asarray(gt_pitch), {},
-                    method=VarianceModel.variance_condition,
-                )
-                vargs = cfg.get("variances_prediction_args", {})
-                n_feats = len(variance_list)
-                shape = (1, n_feats, mel2ph.shape[1],
-                         vargs.get("total_repeat_bins", 48) // n_feats)
-                key, k_var = jax.random.split(key)
-                x = _sample(params, VarianceModel.denoise_variance,
-                            var_cond, k_var, shape)
-                out = normalizers["variances"].denorm(x)
-                if n_feats == 1:
-                    out = [out]
-                if trainer.writer is not None and i < 3:
-                    for v_name, v_pred in zip(variance_list, out):
-                        fig = curve_to_figure(
-                            np.asarray(batch[v_name])[0][:T_real],
-                            np.asarray(v_pred)[0][:T_real], title=v_name,
-                        )
-                        trainer.writer.add_figure(
-                            f"validation/{v_name}_{i}", fig, step
-                        )
+            if trainer.writer is not None and i < 3:
+                for v_name, v_pred in variances_pred.items():
+                    fig = curve_to_figure(
+                        np.asarray(batch[v_name])[0][:T_real],
+                        np.asarray(v_pred)[0][:T_real], title=v_name,
+                    )
+                    trainer.writer.add_figure(f"validation/{v_name}_{i}", fig, step)
         parts = []
         scalars = {}
         if predict_dur:

@@ -194,3 +194,87 @@ def init_variance_state(model, cfg, vocab_size: int, key: jax.Array) -> TrainSta
     )
     tx = build_optimizer(cfg)
     return TrainState.create(variables["params"], tx)
+
+
+def sample_variance_inference(
+    cfg, model, core, normalizers, params, batch, key,
+    want_pitch: bool = True, want_variances: bool = False,
+):
+    """Sampled pitch/variance curves for a collated batch under the
+    validation inference condition: GT duration alignment + full retake
+    (ref: variance_task.py:246 run_model(infer=True) with retake unset).
+
+    Returns ``(pred_pitch [B, T] or None, {name: curve [B, T]})`` —
+    absolute pitch (base + sampled delta), denormalized curves.
+
+    Shared by the trainer's validation extras and the offline eval CLI so
+    both score the same sampling path.
+    """
+    mel2ph = jnp.asarray(batch["mel2ph"])
+    encoder_out, _ = model.apply(
+        params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["midi"]),
+        jnp.asarray(batch["ph2word"]), ph_dur=jnp.asarray(batch["ph_dur"]),
+        infer=True, method=VarianceModel.encode,
+    )
+    spk_kwargs = (
+        {"spk_id": jnp.asarray(batch["spk_ids"])}
+        if cfg.get("use_spk_id", False) else {}
+    )
+    condition = model.apply(
+        params, encoder_out, mel2ph, method=VarianceModel.frame_condition,
+        **spk_kwargs,
+    )
+
+    def _sample(method, cond, k, shape):
+        def denoise(x, t):
+            return model.apply(params, x, t, cond, method=method)
+
+        if isinstance(core, GaussianDiffusion):
+            return core.inference(
+                denoise, k, shape,
+                depth=cfg.get("K_step_infer", core.k_step),
+                speedup=cfg.get("diff_speedup", 10),
+                algorithm=cfg.get("diff_accelerator", "ddim"),
+            )
+        return core.inference(
+            denoise, k, shape, t_start=0.0,
+            steps=cfg.get("sampling_steps", 20),
+            algorithm=cfg.get("sampling_algorithm", "euler"),
+        )
+
+    pred_pitch = None
+    if want_pitch and cfg.get("predict_pitch", False):
+        pitch_cond = model.apply(
+            params, condition, mel2ph, jnp.asarray(batch["base_pitch"]),
+            note_midi=jnp.asarray(batch["note_midi"]),
+            note_rest=jnp.asarray(batch["note_rest"]),
+            note_dur=jnp.asarray(batch["note_dur"]),
+            note_glide=jnp.asarray(batch["note_glide"])
+            if batch.get("note_glide") is not None else None,
+            mel2note=jnp.asarray(batch["mel2note"]),
+            method=VarianceModel.pitch_condition,
+        )
+        pargs = cfg.get("pitch_prediction_args", {})
+        shape = (mel2ph.shape[0], 1, mel2ph.shape[1], pargs.get("repeat_bins", 64))
+        key, k_pitch = jax.random.split(key)
+        delta = _sample(VarianceModel.denoise_pitch, pitch_cond, k_pitch, shape)
+        pred_pitch = normalizers["pitch"].denorm(delta) + jnp.asarray(batch["base_pitch"])
+
+    variances_out = {}
+    prediction_list = model.variance_prediction_list
+    if want_variances and prediction_list:
+        var_cond = model.apply(
+            params, condition, jnp.asarray(batch["pitch"]), {},
+            method=VarianceModel.variance_condition,
+        )
+        vargs = cfg.get("variances_prediction_args", {})
+        n_feats = len(prediction_list)
+        shape = (mel2ph.shape[0], n_feats, mel2ph.shape[1],
+                 vargs.get("total_repeat_bins", 48) // n_feats)
+        key, k_var = jax.random.split(key)
+        x = _sample(VarianceModel.denoise_variance, var_cond, k_var, shape)
+        out = normalizers["variances"].denorm(x)
+        if n_feats == 1:
+            out = [out]
+        variances_out = dict(zip(prediction_list, out))
+    return pred_pitch, variances_out
