@@ -90,7 +90,17 @@ def val_vocoder(wavs, config, out):
 @click.option("--dataset", default="valid", type=click.Choice(["valid", "train"]))
 @click.option("--limit", type=int, required=False, help="Evaluate at most N items")
 @click.option("--seed", type=int, default=0)
-def eval_cmd(exp, dataset, limit, seed):
+@click.option("--json", "json_path", type=click.Path(), required=False,
+              help="Also write the full report as JSON to this path")
+def eval_cmd(exp, dataset, limit, seed, json_path):
+    def _dump(report):
+        if json_path:
+            p = pathlib.Path(json_path)
+            if p.parent != pathlib.Path("."):
+                p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(json.dumps(report, indent=2))
+            print(f"| save report: {json_path}")
+
     exp = _find_exp(exp)
     cfg = load_config(None, exp_name=exp, infer=True)
     if "variance" in str(cfg.get("task_cls", "")).lower():
@@ -103,6 +113,7 @@ def eval_cmd(exp, dataset, limit, seed):
         )
         print(f"| step {report['step']} {report['dataset']} "
               f"({report['items_evaluated']} items): {metrics}")
+        _dump(report)
         return
     from ..eval.copy_synthesis import evaluate_acoustic
 
@@ -116,6 +127,7 @@ def eval_cmd(exp, dataset, limit, seed):
     print(f"| step {report['step']} {report['dataset']}: "
           f"mean_mel_mae={report['mean_mel_mae']:.4f} "
           f"mean_mcd={report['mean_mcd_db']:.3f}dB{aux}")
+    _dump(report)
 
 
 @cli.command(help="Binarize a raw dataset")
