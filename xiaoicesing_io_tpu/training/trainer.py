@@ -245,12 +245,16 @@ class Trainer:
                         / max(dt, 1e-9) / self.num_devices
                     )
                     frames_since_log = 0
-                    print(
-                        f"| step {step} | "
-                        + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
-                        + f" | lr={lr:.2e} | {sps:.2f} it/s"
-                        + f" | {audio_sps:.1f} audio-s/s/chip"
-                    )
+                    if self.rank == 0:
+                        # train metrics are replicated (the loss averages the
+                        # global sharded batch under jit), so rank-0 logging
+                        # is complete — same as the reference's rank-zero bar
+                        print(
+                            f"| step {step} | "
+                            + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                            + f" | lr={lr:.2e} | {sps:.2f} it/s"
+                            + f" | {audio_sps:.1f} audio-s/s/chip"
+                        )
                     if self.writer:
                         for k, v in metrics.items():
                             self.writer.add_scalar(f"training/{k}", v, step)
@@ -314,15 +318,31 @@ class Trainer:
             for k, v in out.items():
                 totals[k] = totals.get(k, 0.0) + float(v) * bs
             weights += bs
+        # cross-host reduction: val batches are disjoint per rank, so summing
+        # weighted totals over processes gives the full-set losses (the
+        # reference's sync_dist=True / torchmetrics dist-sum semantics,
+        # ref: basics/base_task.py:292)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            names = sorted(totals)
+            vec = np.array([totals.get(k, 0.0) for k in names] + [weights],
+                           np.float64)
+            summed = np.asarray(
+                multihost_utils.process_allgather(vec)
+            ).sum(axis=0)
+            totals = dict(zip(names, summed[:-1]))
+            weights = float(summed[-1])
         losses = {k: v / max(weights, 1e-9) for k, v in totals.items()}
         total = sum(losses.values())
-        print(f"| validation @ step {step}: total={total:.4f} " +
-              " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
+        if self.rank == 0:
+            print(f"| validation @ step {step}: total={total:.4f} " +
+                  " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
         if self.writer:
             self.writer.add_scalar("validation/total_loss", total, step)
             for k, v in losses.items():
                 self.writer.add_scalar(f"validation/{k}", v, step)
-        if self.on_validation_extras is not None and not sanity:
+        if self.on_validation_extras is not None and not sanity and self.rank == 0:
             try:
                 self.on_validation_extras(self, step, key)
             except Exception as e:  # extras (plots/audio) must not kill training
