@@ -51,3 +51,28 @@ def test_lynx_pallas_apply_matches_flax(rng):
         cond_projs=projs,
     ))
     np.testing.assert_array_equal(out_hoisted, out)
+
+
+def test_lynx_pallas_apply_fused_layer_matches(rng):
+    """fused_layer=True (v2 whole-layer kernel) == v1 module-kernel path."""
+    B, T, M, H = 2, 160, 16, 64
+    args = {"num_layers": 2, "num_channels": 128, "kernel_size": 31,
+            "strong_cond": True}
+    bb = build_backbone(M, 1, "lynxnet", args, cond_dims=H)
+    spec = jnp.asarray(rng.standard_normal((B, 1, T, M)).astype(np.float32))
+    step = jnp.asarray(np.array([3.0, 700.0], np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    params = bb.init(jax.random.PRNGKey(0), spec, step, cond)
+    p = jax.tree.map(lambda x: x, params)
+    p["params"]["output_projection"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(1), p["params"]["output_projection"]["kernel"].shape
+    )
+    ref = np.asarray(bb.apply(p, spec, step, cond))
+    for dw_impl in ("slice", "roll"):
+        out = np.asarray(lynx_denoiser_apply(
+            p, spec, step, cond, num_layers=2, strong_cond=True,
+            kernel_size=31, tile=128, interpret=True,
+            compute_dtype=jnp.float32, fused_layer=True, dw_impl=dw_impl,
+        ))
+        np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
+        assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999

@@ -94,3 +94,30 @@ def test_fast_vocoder_source_noise(rng):
     np.testing.assert_array_equal(uv_base, np.asarray(fast(mel, f0_uv)))
     uv_n = np.asarray(fast(mel, f0_uv, key=k1))
     assert np.abs(uv_n - uv_base).max() > 0
+
+
+def test_fast_vocoder_pallas_stage_matches(rng):
+    """Fused whole-stage Pallas resblocks == XLA folded resblocks."""
+    cfg = NsfHifiganConfig(
+        num_mels=16, sampling_rate=44100, hop_size=64,
+        upsample_rates=(4, 4, 2, 2), upsample_kernel_sizes=(8, 8, 4, 4),
+        upsample_initial_channel=64, resblock="1",
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3, 5),) * 2,
+    )
+    gen = Generator(cfg)
+    B, T = 2, 12
+    mel = jnp.asarray(rng.standard_normal((B, T, 16)).astype(np.float32))
+    f0 = jnp.asarray(rng.uniform(100, 400, (B, T)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), mel, f0)
+
+    base = FastNsfHifigan(cfg, params, dtype=jnp.bfloat16, min_lanes=8)
+    fused = FastNsfHifigan(
+        cfg, params, dtype=jnp.bfloat16, min_lanes=8,
+        pallas_stages=(0, 1), pallas_tile=128, pallas_interpret=True,
+    )
+    ref = np.asarray(base(mel, f0))
+    out = np.asarray(fused(mel, f0))
+    assert out.shape == ref.shape
+    # same bf16 math, different summation order; waveform is tanh-bounded
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999

@@ -76,3 +76,77 @@ def test_resblock_unit_folded_taps(rng):
     )
     out = np.asarray(out).reshape(B, T, C)
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def _ref_conv(v, W, b, d, pad_l):
+    # bf16 conv with f32 accumulation — the production vocoder's precision
+    # (nsf_fast._conv_folded); the kernel computes the same way
+    y = jax.lax.conv_general_dilated(
+        v.astype(jnp.bfloat16), W.astype(jnp.bfloat16), window_strides=(1,),
+        padding=[(pad_l, (W.shape[0] - 1) * d - pad_l)],
+        rhs_dilation=(d,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b
+
+
+@pytest.mark.parametrize("L,T,tile,kernels,dils", [
+    (128, 300, 128, (3, 7, 11), ((1, 3, 5),) * 3),   # default HiFiGAN stage
+    (128, 257, 256, (3, 5), ((1, 2), (2, 6))),       # asymmetric-ish shapes
+    (256, 200, 128, (3, 7, 11), ((1, 3, 5),) * 3),   # stage-1 width
+])
+def test_fused_stage_matches_xla(rng, L, T, tile, kernels, dils):
+    from xiaoicesing_io_tpu.ops.pallas.hifigan_stage import (
+        ConvSpec, fused_resblock_stage, stack_taps,
+    )
+
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, T, L)).astype(np.float32))
+
+    specs, weights, biases, ref_params = [], [], [], []
+    for k, ds in zip(kernels, dils):
+        branch = []
+        for d in ds:
+            ws = []
+            for dd in (d, 1):
+                W = jnp.asarray(0.1 * rng.standard_normal((k, L, L)).astype(np.float32))
+                b = jnp.asarray(0.1 * rng.standard_normal(L).astype(np.float32))
+                pad_l = (k - 1) * dd // 2
+                branch_spec = ConvSpec(k=k, d=dd, pad_l=pad_l)
+                ws.append((W, b, dd, pad_l, branch_spec))
+            branch.append((ws[0][4], ws[1][4]))
+            for W, b, dd, pad_l, _ in ws:
+                weights.append(jnp.asarray(stack_taps(np.asarray(W))))
+                biases.append(b)
+                ref_params.append((W, b, dd, pad_l))
+        specs.append(tuple(branch))
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, 0.1 * v)
+
+    # XLA reference: mean over branches of chained units
+    ci = 0
+    acc = None
+    for bi, (k, ds) in enumerate(zip(kernels, dils)):
+        h = x
+        for d in ds:
+            W1, b1, d1, p1 = ref_params[ci]; ci += 1
+            W2, b2, d2, p2 = ref_params[ci]; ci += 1
+            t = _ref_conv(lrelu(h), W1, b1, d1, p1)
+            t = _ref_conv(lrelu(t), W2, b2, d2, p2)
+            h = h + t
+        acc = h if acc is None else acc + h
+    ref = np.asarray(acc / len(kernels))
+
+    out = np.asarray(fused_resblock_stage(
+        x, tuple(weights), tuple(biases), tuple(specs), tile=tile,
+        interpret=True,
+    ))
+    assert out.shape == ref.shape
+    # random weights amplify values ~O(100) through the residual chain; both
+    # paths are bf16 with different summation orders, so tolerance is relative
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=6e-3)
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9999

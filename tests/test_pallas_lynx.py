@@ -58,3 +58,37 @@ def test_lynx_conv_kernel_chunked_matches_unchunked(rng, chunks):
                                       chunks=chunks, interpret=True))
     # identical math, different issue order -> bitwise equal up to reassoc-free ops
     np.testing.assert_allclose(out, base, atol=1e-6)
+
+
+@pytest.mark.parametrize("dw_impl", ["slice", "roll"])
+@pytest.mark.parametrize("B,T,dim,k,tile", [
+    (2, 257, 128, 31, 128),
+    (1, 300, 128, 7, 128),
+])
+def test_lynx_layer_fused_matches_composed(rng, dw_impl, B, T, dim, k, tile):
+    """v2 whole-layer kernel == (x+cond) + ConvModule(x+cond+step)."""
+    from xiaoicesing_io_tpu.ops.pallas.lynx_conv2 import lynx_layer_fused
+
+    module = LYNXConvModule(dim=dim, expansion_factor=2, kernel_size=k)
+    x = jnp.asarray(rng.standard_normal((B, T, dim)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, dim)).astype(np.float32))
+    step = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    res = x + cond
+    h = res + step[:, None, :]
+    params = module.init(jax.random.PRNGKey(0), h)
+    ref = np.asarray(module.apply(params, h) + res)
+
+    p = params["params"]
+    out = np.asarray(lynx_layer_fused(
+        x, cond, step,
+        p["norm"]["scale"], p["norm"]["bias"],
+        p["pw_in"]["kernel"], p["pw_in"]["bias"],
+        p["dw_conv"]["kernel"], p["dw_conv"]["bias"],
+        p["act"]["alpha"],
+        p["pw_out"]["kernel"], p["pw_out"]["bias"],
+        kernel_size=k, tile=tile, dw_impl=dw_impl, interpret=True,
+    ))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=0.2, rtol=0.05)
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999

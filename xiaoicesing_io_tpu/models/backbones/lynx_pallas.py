@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..common import sinusoidal_step_embedding
 from ...ops.pallas.lynx_conv import lynx_conv_module
+from ...ops.pallas.lynx_conv2 import lynx_layer_fused
 
 
 def _dense(p, x):
@@ -65,6 +66,8 @@ def lynx_denoiser_apply(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     cond_projs=None,  # precomputed lynx_cond_projections (hoisted out of the loop)
+    fused_layer: bool = False,  # v2 kernel: whole residual layer in-kernel
+    dw_impl: str = "slice",
 ) -> jnp.ndarray:
     p = _resolve(params)
     B, F, T, M = spec.shape
@@ -86,6 +89,22 @@ def lynx_denoiser_apply(
             cond_proj = cond_projs[i].astype(compute_dtype)
         else:
             cond_proj = _dense(lp["conditioner_projection"], cond)
+        if fused_layer and strong_cond:
+            # v2: the whole residual layer (cond/step pre-adds, conv module,
+            # residual) runs in one kernel
+            cm = lp["convmodule"]
+            sp = _dense(lp["diffusion_projection"], step)
+            x = lynx_layer_fused(
+                x, cond_proj, sp,
+                cm["norm"]["scale"], cm["norm"]["bias"],
+                cm["pw_in"]["kernel"], cm["pw_in"]["bias"],
+                cm["dw_conv"]["kernel"], cm["dw_conv"]["bias"],
+                cm["act"]["alpha"],
+                cm["pw_out"]["kernel"], cm["pw_out"]["bias"],
+                kernel_size=kernel_size, tile=tile, dw_impl=dw_impl,
+                interpret=interpret,
+            ).astype(compute_dtype)
+            continue
         if strong_cond:
             x = x + cond_proj
             res = x

@@ -145,12 +145,23 @@ def refold(x: jnp.ndarray, F_from: int, F_to: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 class FastNsfHifigan:
-    """Folded-layout applier over a converted NSF-HiFiGAN param tree."""
+    """Folded-layout applier over a converted NSF-HiFiGAN param tree.
+
+    ``pallas_stages``: stage indices whose resblock group runs as ONE fused
+    Pallas kernel (``ops/pallas/hifigan_stage.py``) instead of 18 XLA convs;
+    ``pallas_tile`` is that kernel's row-tile size.
+    """
 
     def __init__(self, config: NsfHifiganConfig, params: Dict,
-                 dtype=jnp.bfloat16, min_lanes: int = 128):
+                 dtype=jnp.bfloat16, min_lanes: int = 128,
+                 pallas_stages: Tuple[int, ...] = (),
+                 pallas_tile: int = 1024,
+                 pallas_interpret: bool = False):
         self.h = config
         self.dtype = dtype
+        self.pallas_stages = tuple(pallas_stages)
+        self.pallas_tile = pallas_tile
+        self.pallas_interpret = pallas_interpret
         p = params["params"] if "params" in params else params
         h = config
         get = lambda d: (np.asarray(d["kernel"]), np.asarray(d.get("bias")))
@@ -210,6 +221,31 @@ class FastNsfHifigan:
             F_prev = F_stage
         Wk, b = get(p["conv_post"])
         self.w["conv_post"] = fold_conv(Wk, b, F_prev)
+
+        # stacked-tap weights + geometry for the fused whole-stage kernel
+        if self.pallas_stages:
+            from ...ops.pallas.hifigan_stage import ConvSpec, stack_taps
+
+            assert h.resblock == "1", "fused stage kernel supports ResBlock1"
+            num_k = len(h.resblock_kernel_sizes)
+            self.pallas_stage_wb = {}
+            for si in self.pallas_stages:
+                weights, biases, specs = [], [], []
+                for j in range(num_k):
+                    ri = si * num_k + j
+                    branch = []
+                    for ci_ in range(len(h.resblock_dilation_sizes[j])):
+                        pair = []
+                        for cname in ("c1", "c2"):
+                            W2, b2, pad_l, rdil = self.w[f"res{ri}_{cname}_{ci_}"]
+                            weights.append(jnp.asarray(stack_taps(np.asarray(W2))))
+                            biases.append(jnp.asarray(np.asarray(b2)))
+                            pair.append(ConvSpec(k=W2.shape[0], d=rdil, pad_l=pad_l))
+                        branch.append(tuple(pair))
+                    specs.append(tuple(branch))
+                self.pallas_stage_wb[si] = (
+                    tuple(weights), tuple(biases), tuple(specs)
+                )
         if not h.mini_nsf:
             self.source_linear = (
                 np.asarray(p["source_linear"]["kernel"]),
@@ -290,23 +326,33 @@ class FastNsfHifigan:
                 src = har.reshape(B, Ts // F_stage, F_stage)
                 xs = _conv_folded(src, *self.w["source_conv"], dtype=dt)
                 x = x + xs[:, : x.shape[1]]
-            acc = None
-            for j in range(num_k):
-                hblk = x
-                for ci_ in range(len(res_dils[j])):
-                    if h.resblock == "1":
-                        t = leaky_relu(hblk)
-                        t = _conv_folded(t, *self.w[f"res{ri}_c1_{ci_}"], dtype=dt)
-                        t = leaky_relu(t)
-                        t = _conv_folded(t, *self.w[f"res{ri}_c2_{ci_}"], dtype=dt)
-                        hblk = hblk + t
-                    else:
-                        t = leaky_relu(hblk)
-                        t = _conv_folded(t, *self.w[f"res{ri}_c_{ci_}"], dtype=dt)
-                        hblk = hblk + t
-                acc = hblk if acc is None else acc + hblk
-                ri += 1
-            x = acc / num_k
+            if i in self.pallas_stages:
+                from ...ops.pallas.hifigan_stage import fused_resblock_stage
+
+                weights, biases, specs = self.pallas_stage_wb[i]
+                x = fused_resblock_stage(
+                    x.astype(dt), weights, biases, specs,
+                    tile=self.pallas_tile, interpret=self.pallas_interpret,
+                )
+                ri += num_k
+            else:
+                acc = None
+                for j in range(num_k):
+                    hblk = x
+                    for ci_ in range(len(res_dils[j])):
+                        if h.resblock == "1":
+                            t = leaky_relu(hblk)
+                            t = _conv_folded(t, *self.w[f"res{ri}_c1_{ci_}"], dtype=dt)
+                            t = leaky_relu(t)
+                            t = _conv_folded(t, *self.w[f"res{ri}_c2_{ci_}"], dtype=dt)
+                            hblk = hblk + t
+                        else:
+                            t = leaky_relu(hblk)
+                            t = _conv_folded(t, *self.w[f"res{ri}_c_{ci_}"], dtype=dt)
+                            hblk = hblk + t
+                    acc = hblk if acc is None else acc + hblk
+                    ri += 1
+                x = acc / num_k
         x = leaky_relu(x, 0.01)
         x = _conv_folded(x, *self.w["conv_post"], dtype=dt)  # [B, R, F_cur]
         x = jnp.tanh(x.astype(jnp.float32))
