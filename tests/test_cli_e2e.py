@@ -196,6 +196,11 @@ def test_cli_e2e_acoustic(corpus):
     if not have_vocoder:
         pytest.skip("reference repo unavailable: wav/vocode legs skipped")
 
+    # eval with waveform PESQ (vocodes predicted + GT mels)
+    p = _run([SCRIPTS / "eval.py", "--exp", "E", "--pesq"], cwd=corpus,
+             timeout=900)
+    assert "mean_pesq=" in p.stdout
+
     for title in ["run1", "run2"]:
         _run([SCRIPTS / "infer.py", "acoustic", "song.ds", "--exp", "E",
               "--out", "out", "--seed", "42", "--title", title],

@@ -174,3 +174,80 @@ def test_comb_mask_candidate_offsets_match_bruteforce():
         )
 
     np.testing.assert_array_equal(fast, brute)
+
+
+def test_world_replacement_curves_vs_ground_truth():
+    """Quantitative validation of the comb-STFT WORLD replacement.
+
+    The reference derives breathiness/voicing from pyworld CheapTrick+D4C
+    parts (ref utils/decomposed_waveform.py:64-230); pyworld is absent here,
+    so validate against SYNTHETIC ground truth instead: a singing-like
+    signal built as known harmonic part H + known noise part N with a
+    time-varying mix.  The decomposition's curves must match curves computed
+    from the true parts within a stated dB bound (documented in PARITY.md).
+    """
+    rng = np.random.default_rng(7)
+    secs = 2.0
+    n = int(SR * secs)
+    t = np.arange(n) / SR
+    f0_curve = 220.0 * (1 + 0.02 * np.sin(2 * np.pi * 5.5 * t))
+    ph = 2 * np.pi * np.cumsum(f0_curve) / SR
+    harm_true = sum(
+        np.sin(k * ph + 0.1 * k) * 0.2 / k ** 0.9 for k in range(1, 12)
+    )
+    # breathiness swells in the middle of the note (time-varying mix)
+    breath_env = 0.01 + 0.05 * np.exp(-(((t - 1.0) / 0.3) ** 2))
+    noise_true = breath_env * rng.standard_normal(n)
+    y = (harm_true + noise_true).astype(np.float32)
+
+    length = n // HOP + 1
+    frame_t = np.arange(length) * HOP / SR
+    f0 = np.interp(frame_t, t, f0_curve).astype(np.float32)
+
+    dw = DecomposedWaveform(y, SR, f0, hop_size=HOP, fft_size=2048, win_size=2048)
+    breath = get_breathiness(dw, length=length)
+    voic = get_voicing(dw, length=length)
+
+    # golden curves: the SAME RMS-dB definition applied to the true parts
+    gold_breath = get_energy(noise_true.astype(np.float32), length,
+                             hop_size=HOP, win_size=2048)
+    gold_voic = get_energy(harm_true.astype(np.float32), length,
+                           hop_size=HOP, win_size=2048)
+
+    mid = slice(8, length - 8)
+    voic_err = np.abs(voic[mid] - gold_voic[mid])
+    breath_err = np.abs(breath[mid] - gold_breath[mid])
+    # documented bounds: voicing within 1 dB everywhere; breathiness within
+    # 3 dB median / 6 dB p95 (the separator leaks a little harmonic energy
+    # into the residual near the vibrato extremes)
+    assert voic_err.max() < 1.0, voic_err.max()
+    assert np.median(breath_err) < 3.0, np.median(breath_err)
+    assert np.percentile(breath_err, 95) < 6.0
+    # the breathiness CURVE must track the swell: correlation with gold
+    assert np.corrcoef(breath[mid], gold_breath[mid])[0, 1] > 0.95
+
+
+def test_tension_matches_analytic_ratio():
+    """Tension = logit of sqrt(1 - E_base^2/E_harm^2); with analytically
+    known per-harmonic amplitudes the expected value is exact."""
+    n = SR
+    t = np.arange(n) / SR
+    f0_hz = 220.0
+    for a_base, a_upper, expect_sign in [(0.4, 0.08, -1), (0.08, 0.4, +1)]:
+        y = (
+            a_base * np.sin(2 * np.pi * f0_hz * t)
+            + a_upper * np.sin(2 * np.pi * 2 * f0_hz * t)
+            + a_upper * np.sin(2 * np.pi * 3 * f0_hz * t)
+        ).astype(np.float32)
+        length = n // HOP + 1
+        f0 = np.full(length, f0_hz, np.float32)
+        dw = DecomposedWaveform(y, SR, f0, hop_size=HOP, fft_size=2048,
+                                win_size=2048)
+        tens = get_tension(dw, length=length, domain="ratio")
+        e_base = a_base / np.sqrt(2)
+        e_harm = np.sqrt((a_base ** 2 + 2 * a_upper ** 2) / 2)
+        expected = np.sqrt(max(e_harm ** 2 - e_base ** 2, 0.0)) / e_harm
+        mid = slice(8, length - 8)
+        np.testing.assert_allclose(np.median(tens[mid]), expected, atol=0.05)
+        logit = get_tension(dw, length=length, domain="logit")
+        assert np.sign(np.median(logit[mid])) == expect_sign

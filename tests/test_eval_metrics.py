@@ -31,3 +31,41 @@ def test_f0_rmse_cents():
     f0b[:50] = 0  # half unvoiced
     rmse, agr = f0_rmse_cents(f0, f0b)
     assert agr == 0.5
+
+
+class TestPesqApprox:
+    @staticmethod
+    def _singing(sr=44100, secs=2.0, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(sr * secs)) / sr
+        f0 = 220 * (1 + 0.01 * np.sin(2 * np.pi * 5 * t))
+        ph = 2 * np.pi * np.cumsum(f0) / sr
+        wav = sum(np.sin(k * ph) / k for k in range(1, 9)) * 0.2
+        return wav + 0.002 * rng.standard_normal(len(wav))
+
+    def test_identity_scores_high(self):
+        from xiaoicesing_io_tpu.eval.metrics import pesq_approx
+
+        wav = self._singing()
+        assert pesq_approx(wav, wav, 44100) > 4.3
+
+    def test_monotonic_in_noise(self):
+        from xiaoicesing_io_tpu.eval.metrics import pesq_approx
+
+        wav = self._singing()
+        rng = np.random.default_rng(1)
+        noise = rng.standard_normal(len(wav))
+        noise /= np.sqrt(np.mean(noise ** 2))
+        rms = np.sqrt(np.mean(wav ** 2))
+        scores = [
+            pesq_approx(wav, wav + rms * 10 ** (-snr / 20) * noise, 44100)
+            for snr in (40, 25, 10)
+        ]
+        assert scores[0] > scores[1] > scores[2]
+        assert scores[0] > 3.8 and scores[2] < 2.5
+
+    def test_small_delay_tolerated(self):
+        from xiaoicesing_io_tpu.eval.metrics import pesq_approx
+
+        wav = self._singing()
+        assert pesq_approx(wav, np.roll(wav, -100), 44100) > 4.0

@@ -92,7 +92,9 @@ def val_vocoder(wavs, config, out):
 @click.option("--seed", type=int, default=0)
 @click.option("--json", "json_path", type=click.Path(), required=False,
               help="Also write the full report as JSON to this path")
-def eval_cmd(exp, dataset, limit, seed, json_path):
+@click.option("--pesq", "with_pesq", is_flag=True, default=False,
+              help="Also vocode predicted + GT mels and report waveform PESQ")
+def eval_cmd(exp, dataset, limit, seed, json_path, with_pesq):
     def _dump(report):
         if json_path:
             p = pathlib.Path(json_path)
@@ -117,16 +119,20 @@ def eval_cmd(exp, dataset, limit, seed, json_path):
         return
     from ..eval.copy_synthesis import evaluate_acoustic
 
-    report = evaluate_acoustic(cfg, dataset=dataset, limit=limit, seed=seed)
+    report = evaluate_acoustic(cfg, dataset=dataset, limit=limit, seed=seed,
+                               with_pesq=with_pesq)
     for it in report["items"]:
         aux = "" if it["aux_mae"] is None else f"  aux_mae={it['aux_mae']:.4f}"
+        pq = "" if it.get("pesq") is None else f"  pesq={it['pesq']:.2f}"
         print(f"| {it['name']}: frames={it['frames']} "
-              f"mel_mae={it['mel_mae']:.4f} mcd={it['mcd_db']:.3f}dB{aux}")
+              f"mel_mae={it['mel_mae']:.4f} mcd={it['mcd_db']:.3f}dB{aux}{pq}")
     aux = ("" if "mean_aux_mae" not in report
            else f"  mean_aux_mae={report['mean_aux_mae']:.4f}")
+    pq = ("" if "mean_pesq" not in report
+          else f"  mean_pesq={report['mean_pesq']:.2f}")
     print(f"| step {report['step']} {report['dataset']}: "
           f"mean_mel_mae={report['mean_mel_mae']:.4f} "
-          f"mean_mcd={report['mean_mcd_db']:.3f}dB{aux}")
+          f"mean_mcd={report['mean_mcd_db']:.3f}dB{aux}{pq}")
     _dump(report)
 
 

@@ -63,7 +63,11 @@ def get_breathiness(
     length=None, *, hop_size=None, fft_size=None, win_size=None,
 ) -> np.ndarray:
     dw = _ensure_decomposed(waveform, samplerate, f0, hop_size, fft_size, win_size)
-    return get_energy(dw.aperiodic(), length, hop_size=dw.hop_size, win_size=dw.win_size)
+    db = get_energy(dw.aperiodic(), length, hop_size=dw.hop_size, win_size=dw.win_size)
+    # full-band noise compensation (see DecomposedWaveform.noise_gain): the
+    # reference's D4C aperiodic part is full-band; the comb residual is not
+    gain = dw.noise_gain(len(db))
+    return (db + 20.0 * np.log10(gain)).astype(np.float32)
 
 
 def get_voicing(

@@ -133,6 +133,7 @@ class DecomposedWaveform:
         spec = stft_centered(self._waveform, n_fft, hop, window)
         n_frames, n_bins = spec.shape
         f0 = self._aligned_f0(n_frames)
+        full_comb = harmonic_hi is None
         if harmonic_hi is None:
             harmonic_hi = int(np.floor((sr / 2) / max(f0.min(), 1.0))) + 1
         # Vectorized over harmonics: a bin can only fall inside the
@@ -153,6 +154,10 @@ class DecomposedWaveform:
                 & (bins >= np.clip(center - self._half_width, 0, None))
                 & (bins < np.clip(center + self._half_width, None, n_bins))
             )
+        if full_comb:
+            # fraction of spectrum claimed by the comb, per frame — used to
+            # compensate broadband-noise energy stolen from the residual
+            self._comb_frac = mask.mean(axis=1)
         return istft_centered(spec * mask, n_fft, hop, window, len(self._waveform))
 
     # -- public API ---------------------------------------------------------
@@ -191,3 +196,22 @@ class DecomposedWaveform:
                 self._waveform - self.harmonic().astype(np.float64)
             ).astype(np.float32)
         return self._aperiodic_part
+
+    def noise_gain(self, length: int) -> np.ndarray:
+        """Per-frame RMS gain that maps residual noise to FULL-BAND noise.
+
+        The comb claims a fraction rho of the spectrum per frame, taking the
+        broadband noise in those bins with it; for spectrally flat noise the
+        residual's RMS underestimates the true noise RMS by sqrt(1 - rho)
+        (measured: -7 dB at 220 Hz / 2048-FFT — tests/test_dsp.py's
+        ground-truth case).  The reference's D4C-based aperiodic part is
+        full-band, so breathiness applies this gain for parity.  'vr' mode
+        predicts a full-band residual already (gain 1).
+        """
+        if self._algorithm == "vr":
+            return np.ones(length, np.float32)
+        self.harmonic()  # ensure the full comb ran (sets _comb_frac)
+        rho = np.clip(self._comb_frac, 0.0, 0.95)
+        pos = np.linspace(0, len(rho) - 1, length)
+        rho_i = np.interp(pos, np.arange(len(rho)), rho)
+        return (1.0 / np.sqrt(1.0 - rho_i)).astype(np.float32)

@@ -57,14 +57,21 @@ def _batch_from_item(cfg, infer, b: Dict[str, np.ndarray]) -> Dict:
 
 def evaluate_acoustic(
     cfg, dataset: str = "valid", limit: Optional[int] = None, seed: int = 0,
+    with_pesq: bool = False,
 ) -> Dict:
     """Returns {"items": [{name, frames, mel_mae, aux_mae}...],
-    "mean_mel_mae": float[, "mean_aux_mae": float], "step": int}."""
+    "mean_mel_mae": float[, "mean_aux_mae": float], "step": int}.
+
+    ``with_pesq=True`` additionally vocodes the predicted AND ground-truth
+    mels with the experiment's vocoder and scores the waveform pair with
+    :func:`..eval.metrics.pesq_approx` (BASELINE's "PESQ tolerance"
+    criterion; GT waveforms are not stored in the binarized data, so the
+    comparison is vocoder-conditioned)."""
     from ..data.dataset import AcousticDataset
     from ..inference.acoustic import DiffSingerAcousticInfer
     from ..models.toplevel import AcousticModel
 
-    infer = DiffSingerAcousticInfer(cfg, load_vocoder=False)
+    infer = DiffSingerAcousticInfer(cfg, load_vocoder=with_pesq)
     ds = AcousticDataset(cfg["binary_data_dir"], dataset, cfg)
 
     use_shallow = cfg.get("use_shallow_diffusion", False)
@@ -84,6 +91,18 @@ def evaluate_acoustic(
         pred = infer.forward_model(batch, seed=seed + i)  # jitted production path
         mae = mel_mae(pred[0][mask], gt[0][mask])
         item_mcd = mcd(pred[0][mask], gt[0][mask])  # BASELINE's MCD criterion
+
+        item_pesq = None
+        if with_pesq:
+            from .metrics import pesq_approx
+
+            f0 = np.asarray(b["f0"])
+            wav_pred = np.asarray(infer.run_vocoder(pred, f0, seed=seed + i))
+            wav_gt = np.asarray(infer.run_vocoder(gt, f0, seed=seed + i))
+            m = min(len(wav_pred), len(wav_gt))
+            item_pesq = pesq_approx(
+                wav_gt[:m], wav_pred[:m], cfg["audio_sample_rate"]
+            )
 
         aux_mae = None
         if use_shallow:
@@ -117,6 +136,7 @@ def evaluate_acoustic(
             "mel_mae": float(mae),
             "mcd_db": float(item_mcd),
             "aux_mae": None if aux_mae is None else float(aux_mae),
+            "pesq": None if item_pesq is None else float(item_pesq),
         })
 
     out = {
@@ -128,6 +148,8 @@ def evaluate_acoustic(
     }
     if use_shallow:
         out["mean_aux_mae"] = float(np.mean([it["aux_mae"] for it in items]))
+    if with_pesq:
+        out["mean_pesq"] = float(np.mean([it["pesq"] for it in items]))
     return out
 
 

