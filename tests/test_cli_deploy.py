@@ -407,3 +407,102 @@ def test_bench_acoustic_runs_for_ddpm_and_no_aux(tmp_path):
 
     dt = bench_acoustic(cfg, tokens_n=4, frames=32, runs=1, steps=2)
     assert dt > 0
+
+
+def test_export_acoustic_onnx(tiny_ckpt, tmp_path):
+    """--format onnx produces real .onnx graphs that execute to parity with
+    the StableHLO export (the reference's deployment product is ONNX,
+    ref: deployment/exporters/acoustic_exporter.py:333-390)."""
+    cfg, wd = tiny_ckpt
+    from xiaoicesing_io_tpu.deployment.export import export_acoustic
+    from xiaoicesing_io_tpu.deployment.onnx_proto import parse_model
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_model_bytes
+
+    out = export_acoustic(cfg, out_dir=str(tmp_path / "onnx"), fmt="onnx")
+    assert (out / "fs2_aux.onnx").exists()
+    assert (out / "diffusion_step.onnx").exists()
+    assert (out / "dsconfig.yaml").exists()
+
+    data = (out / "diffusion_step.onnx").read_bytes()
+    graph, meta = parse_model(data)
+    assert meta["opset"] >= 16  # ScatterElements(reduction=add) needs 16
+    B, T_f, M = 1, 512, cfg["audio_num_mel_bins"]
+    H = cfg["hidden_size"]
+    rng = np.random.default_rng(0)
+    feeds = {
+        graph.inputs[0][0]: rng.standard_normal((B, 1, T_f, M)).astype(np.float32),
+        graph.inputs[1][0]: np.asarray([0.4], np.float32),
+        graph.inputs[2][0]: rng.standard_normal((B, T_f, H)).astype(np.float32),
+    }
+    y = run_model_bytes(data, feeds)
+    (out_name, _, out_shape), = graph.outputs
+    assert y[out_name].shape == (B, 1, T_f, M)
+
+    # parity vs the StableHLO export of the same checkpoint
+    from jax import export as jexport
+
+    shlo = export_acoustic(cfg, out_dir=str(tmp_path / "shlo"))
+    exported = jexport.deserialize(
+        (shlo / "diffusion_step.stablehlo").read_bytes()
+    )
+    ref = np.asarray(exported.call(*feeds.values()))
+    np.testing.assert_allclose(y[out_name], ref, atol=2e-4)
+
+
+def test_export_variance_onnx(tmp_path):
+    """variance partial graphs and the NSF-HiFiGAN generator export as ONNX
+    and execute through the numpy verifier."""
+    wd = tmp_path / "exp_var_onnx"
+    wd.mkdir()
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/variance.yaml"
+    )
+    cfg.update(
+        work_dir=str(wd), dictionary=str(DICT), exp_name="export_var_onnx",
+        enc_layers=1, predict_dur=True, predict_pitch=True,
+        predict_energy=True, predict_breathiness=True,
+    )
+    cfg["dur_prediction_args"].update(hidden_size=32, num_layers=1)
+    cfg["pitch_prediction_args"].update(repeat_bins=8)
+    cfg["pitch_prediction_args"]["backbone_args"].update(num_layers=1, num_channels=16)
+    cfg["variances_prediction_args"].update(total_repeat_bins=8)
+    cfg["variances_prediction_args"]["backbone_args"].update(num_layers=1, num_channels=16)
+
+    from xiaoicesing_io_tpu.training.checkpoint import CheckpointManager
+    from xiaoicesing_io_tpu.training.variance import build_variance, init_variance_state
+    from xiaoicesing_io_tpu.utils.phonemes import PhonemeDictionary
+    from xiaoicesing_io_tpu.utils.text_encoder import TokenTextEncoder
+
+    enc = TokenTextEncoder(PhonemeDictionary.load(DICT).phoneme_list)
+    model, core, normalizers = build_variance(cfg, enc.vocab_size)
+    state = init_variance_state(model, cfg, enc.vocab_size, jax.random.PRNGKey(0))
+    CheckpointManager(wd, category="variance").save(state, step=10)
+
+    import yaml
+
+    from xiaoicesing_io_tpu.deployment.export import export_variance
+    from xiaoicesing_io_tpu.deployment.onnx_proto import parse_model
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_model_bytes
+
+    out = export_variance(cfg, out_dir=str(tmp_path / "v_onnx"), fmt="onnx")
+    manifest = yaml.safe_load((out / "dsconfig.yaml").read_text())
+    for g in ("linguistic", "frame_condition", "pitch_pre", "pitch",
+              "variance_pre", "variance"):
+        p = out / manifest["graphs"][g]
+        assert p.suffix == ".onnx" and p.exists(), g
+    # execute the linguistic graph
+    data = (out / manifest["graphs"]["linguistic"]).read_bytes()
+    graph, _ = parse_model(data)
+    rng = np.random.default_rng(0)
+    feeds = {}
+    for name, et, shape in graph.inputs:
+        if et == 7:  # int64
+            feeds[name] = rng.integers(1, 4, shape).astype(np.int64)
+        elif et == 6:
+            feeds[name] = rng.integers(1, 4, shape).astype(np.int32)
+        else:
+            feeds[name] = rng.standard_normal(shape).astype(np.float32)
+    y = run_model_bytes(data, feeds)
+    assert all(np.isfinite(v).all() for v in y.values())
+    # (the NSF-HiFiGAN generator's ONNX export is covered by
+    # tests/test_onnx_export.py::test_real_vocoder_graph)

@@ -1,0 +1,209 @@
+"""jaxpr -> ONNX export: wire-format round trip + numeric parity.
+
+onnxruntime is unavailable in this environment; artifacts are verified by
+parsing the serialized protobuf back and executing it with the in-repo numpy
+executor (the files themselves are standard ONNX; see
+deployment/onnx_proto.py).  Covers the reference's deployment product
+(ref: deployment/exporters/acoustic_exporter.py:160-390) at the graph level.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xiaoicesing_io_tpu.deployment.onnx_export import export_onnx
+from xiaoicesing_io_tpu.deployment.onnx_proto import parse_model
+from xiaoicesing_io_tpu.deployment.onnx_run import run_model_bytes
+
+
+def _roundtrip(fn, args, names=None, atol=2e-5):
+    data = export_onnx(fn, args, None, input_names=names)
+    feeds = {n: a for n, a in zip(names or [f"in{i}" for i in range(len(args))], args)}
+    out = run_model_bytes(data, feeds)
+    ref = fn(*[jnp.asarray(a) for a in args])
+    ref = ref if isinstance(ref, tuple) else (ref,)
+    for i, r in enumerate(ref):
+        np.testing.assert_allclose(
+            out[f"out{i}"], np.asarray(r), atol=atol, rtol=1e-4
+        )
+    return data
+
+
+def test_proto_roundtrip(rng):
+    W = rng.standard_normal((4, 8)).astype(np.float32)
+
+    def f(x):
+        return jnp.tanh(x @ W)
+
+    x = rng.standard_normal((2, 4)).astype(np.float32)
+    data = _roundtrip(f, [x])
+    graph, meta = parse_model(data)
+    assert meta["opset"] == 17 and meta["ir_version"] == 8
+    assert [n for n, _, _ in graph.inputs] == ["in0"]
+    assert any(n.op_type == "MatMul" for n in graph.nodes)
+    assert any(t.array.shape == (4, 8) for t in graph.initializers)
+
+
+def test_dense_gelu_layernorm(rng):
+    W = rng.standard_normal((16, 32)).astype(np.float32)
+    b = rng.standard_normal(32).astype(np.float32)
+
+    def f(x):
+        h = jax.nn.gelu(x @ W + b, approximate=False)
+        m = h.mean(-1, keepdims=True)
+        v = ((h - m) ** 2).mean(-1, keepdims=True)
+        return (h - m) * jax.lax.rsqrt(v + 1e-5)
+
+    _roundtrip(f, [rng.standard_normal((2, 5, 16)).astype(np.float32)])
+
+
+@pytest.mark.parametrize("case", ["dilated", "depthwise", "lhs_dilated", "strided"])
+def test_conv_variants(rng, case):
+    x = rng.standard_normal((2, 9, 16)).astype(np.float32)
+    if case == "depthwise":
+        W = rng.standard_normal((3, 1, 16)).astype(np.float32)
+        kw = dict(padding=[(1, 1)], feature_group_count=16)
+    elif case == "dilated":
+        W = rng.standard_normal((5, 16, 24)).astype(np.float32)
+        kw = dict(padding=[(4, 4)], rhs_dilation=(2,))
+    elif case == "lhs_dilated":
+        W = rng.standard_normal((4, 16, 8)).astype(np.float32)
+        kw = dict(padding=[(2, 1)], lhs_dilation=(2,))
+    else:
+        W = rng.standard_normal((4, 16, 8)).astype(np.float32)
+        kw = dict(padding=[(1, 2)], window_strides=(2,))
+
+    strides = kw.pop("window_strides", (1,))
+    padding = kw.pop("padding")
+
+    def f(x):
+        return jax.lax.conv_general_dilated(
+            x, W, strides, padding,
+            dimension_numbers=("NWC", "WIO", "NWC"), **kw,
+        )
+
+    _roundtrip(f, [x])
+
+
+def test_gather_scatter_softmax(rng):
+    E = rng.standard_normal((20, 8)).astype(np.float32)
+
+    def f(tok, mel2ph, seg):
+        emb = jnp.take(E, tok, axis=0)
+        pad = jnp.pad(emb, ((0, 0), (1, 0), (0, 0)))
+        g = jnp.take_along_axis(pad, mel2ph[:, :, None], axis=1)
+        att = jax.nn.softmax(g @ g.transpose(0, 2, 1) / 2.8, axis=-1)
+        y = att @ g + jnp.cumsum(g, axis=1)
+        s = jax.ops.segment_sum(y[0], seg, num_segments=6)
+        return y, s
+
+    tok = rng.integers(0, 20, (2, 5)).astype(np.int32)
+    m2p = rng.integers(0, 6, (2, 9)).astype(np.int32)
+    seg = rng.integers(0, 6, (9,)).astype(np.int32)
+    _roundtrip(f, [tok, m2p, seg])
+
+
+@pytest.fixture(scope="module")
+def tiny_acoustic():
+    from pathlib import Path
+
+    from xiaoicesing_io_tpu.config import Config, load_config
+    from xiaoicesing_io_tpu.training.acoustic import build_acoustic
+
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
+    )
+    cfg.update(
+        enc_layers=2, precision="fp32",
+        backbone_args=Config(num_channels=64, num_layers=2, kernel_size=31,
+                             strong_cond=True),
+    )
+    cfg["shallow_diffusion_args"]["aux_decoder_args"].update(
+        num_channels=64, num_layers=1
+    )
+    model, core, normalizer = build_acoustic(cfg, 12)
+    B, T_ph, T_f, M = 1, 8, 64, cfg["audio_num_mel_bins"]
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, 12, (B, T_ph)).astype(np.int32)
+    mel2ph = np.clip(
+        np.sort(rng.integers(1, T_ph + 1, (B, T_f))), 1, T_ph
+    ).astype(np.int32)
+    f0 = rng.uniform(100, 400, (B, T_f)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(tokens), jnp.asarray(mel2ph),
+        jnp.asarray(f0), jnp.zeros((B, 1, T_f, M)), jnp.zeros((B,)),
+    )
+    # perturb the zero-init output projection so the denoiser is non-trivial
+    params = jax.tree.map(lambda x: x, params)
+    op = params["params"]["backbone"]["output_projection"]
+    op["kernel"] = 0.05 * jax.random.normal(jax.random.PRNGKey(3),
+                                            op["kernel"].shape)
+    return cfg, model, params, (tokens, mel2ph, f0, M)
+
+
+def test_real_fs2_aux_graph(tiny_acoustic):
+    from xiaoicesing_io_tpu.models.toplevel import AcousticModel
+
+    cfg, model, params, (tokens, mel2ph, f0, M) = tiny_acoustic
+
+    def fs2_aux(tokens, mel2ph, f0):
+        c = model.apply(params, tokens, mel2ph, f0,
+                        method=AcousticModel.condition)
+        aux = model.apply(params, c, method=AcousticModel.aux_out)
+        return c, aux
+
+    data = export_onnx(fs2_aux, [tokens, mel2ph, f0], None,
+                       input_names=["tokens", "mel2ph", "f0"],
+                       output_names=["condition", "aux_mel"])
+    out = run_model_bytes(data, {"tokens": tokens, "mel2ph": mel2ph, "f0": f0})
+    ref_c, ref_a = fs2_aux(jnp.asarray(tokens), jnp.asarray(mel2ph),
+                           jnp.asarray(f0))
+    np.testing.assert_allclose(out["condition"], np.asarray(ref_c), atol=1e-4)
+    np.testing.assert_allclose(out["aux_mel"], np.asarray(ref_a), atol=1e-4)
+
+
+def test_real_denoiser_graph(tiny_acoustic, rng):
+    from xiaoicesing_io_tpu.models.toplevel import AcousticModel
+
+    cfg, model, params, (tokens, mel2ph, f0, M) = tiny_acoustic
+    B, T_f = mel2ph.shape
+    x = rng.standard_normal((B, 1, T_f, M)).astype(np.float32)
+    t = np.asarray([0.37], np.float32)
+    c = rng.standard_normal((B, T_f, cfg["hidden_size"])).astype(np.float32)
+
+    def den(x, t, c):
+        return model.apply(params, x, t, c, method=AcousticModel.denoise)
+
+    data = export_onnx(den, [x, t, c], None,
+                       input_names=["x", "t", "condition"],
+                       output_names=["v"])
+    out = run_model_bytes(data, {"x": x, "t": t, "condition": c})["v"]
+    ref = np.asarray(den(jnp.asarray(x), jnp.asarray(t), jnp.asarray(c)))
+    assert np.abs(ref).max() > 0  # non-trivial after perturbation
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_real_vocoder_graph(rng):
+    from xiaoicesing_io_tpu.models.vocoders.nsf_hifigan import (
+        Generator, NsfHifiganConfig,
+    )
+
+    vcfg = NsfHifiganConfig(
+        num_mels=16, hop_size=64, upsample_rates=(4, 4, 2, 2),
+        upsample_kernel_sizes=(8, 8, 4, 4), upsample_initial_channel=64,
+    )
+    gen = Generator(vcfg)
+    mel = (rng.standard_normal((1, 16, 16)) * 0.1 - 5).astype(np.float32)
+    f0 = np.full((1, 16), 220.0, np.float32)
+    vp = gen.init(jax.random.PRNGKey(1), jnp.asarray(mel), jnp.asarray(f0))
+
+    def voc(mel, f0):
+        return gen.apply(vp, mel, f0)
+
+    data = export_onnx(voc, [mel, f0], None, input_names=["mel", "f0"],
+                       output_names=["waveform"])
+    out = run_model_bytes(data, {"mel": mel, "f0": f0})["waveform"]
+    ref = np.asarray(voc(jnp.asarray(mel), jnp.asarray(f0)))
+    assert out.shape == ref.shape == (1, 16 * 64)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -92,3 +92,33 @@ def test_lynx_layer_fused_matches_composed(rng, dw_impl, B, T, dim, k, tile):
     np.testing.assert_allclose(out, ref, atol=0.2, rtol=0.05)
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999
+
+
+@pytest.mark.parametrize("B,T,dim,k,tile", [
+    (2, 257, 128, 31, 128),   # partial final tile
+    (1, 512, 128, 31, 128),   # exact tiling, deeper pipeline
+])
+def test_lynx_layer_v3_matches_v2(rng, B, T, dim, k, tile):
+    """software-pipelined v3 == v2 (same math, staged across grid steps)."""
+    from xiaoicesing_io_tpu.ops.pallas.lynx_conv2 import lynx_layer_fused
+    from xiaoicesing_io_tpu.ops.pallas.lynx_conv3 import lynx_layer_fused_v3
+
+    module = LYNXConvModule(dim=dim, expansion_factor=2, kernel_size=k)
+    x = jnp.asarray(rng.standard_normal((B, T, dim)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, dim)).astype(np.float32))
+    step = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(0), x + cond)
+    p = params["params"]
+    args = (
+        x, cond, step,
+        p["norm"]["scale"], p["norm"]["bias"],
+        p["pw_in"]["kernel"], p["pw_in"]["bias"],
+        p["dw_conv"]["kernel"], p["dw_conv"]["bias"],
+        p["act"]["alpha"],
+        p["pw_out"]["kernel"], p["pw_out"]["bias"],
+    )
+    ref = np.asarray(lynx_layer_fused(*args, kernel_size=k, tile=tile,
+                                      interpret=True))
+    out = np.asarray(lynx_layer_fused_v3(*args, kernel_size=k, tile=tile,
+                                         interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

@@ -338,9 +338,9 @@ def test_grad_accumulation_counts_optimizer_steps(tiny_binary, tmp_path):
     consumed = {"n": 0}
     inner = trainer.collate
 
-    def counting_collate(items):
+    def counting_collate(items, **kw):
         consumed["n"] += 1
-        return inner(items)
+        return inner(items, **kw)
 
     trainer.collate = counting_collate
     trainer.fit()
@@ -376,7 +376,7 @@ def test_prefetch_propagates_collate_errors(tiny_binary, tmp_path):
 
     trainer = build_acoustic_trainer(cfg)
 
-    def broken_collate(items):
+    def broken_collate(items, **kw):
         raise KeyError("corrupt item")
 
     trainer.collate = broken_collate

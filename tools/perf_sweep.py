@@ -71,7 +71,7 @@ def sweep_sampler():
     bargs = cfg["backbone_args"]
     key = jax.random.PRNGKey(1)
 
-    def make_sample(mode, tile=256, dw_impl="slice"):
+    def make_sample(mode, tile=256, dw_impl="slice", ablate=""):
         def run(params, tokens, mel2ph, f0, key):
             cond = model.apply(params, tokens, mel2ph, f0,
                                method=AcousticModel.condition)
@@ -95,8 +95,9 @@ def sweep_sampler():
                         kernel_size=bargs.get("kernel_size", 31),
                         cond_projs=cond_projs,
                         tile=tile,
-                        fused_layer=(mode == "v2"),
+                        fused_layer=("v3" if mode == "v3" else mode == "v2"),
                         dw_impl=dw_impl,
+                        ablate=ablate,
                     ).astype(jnp.float32)
             x = core.inference(
                 velocity_fn, key, (B, 1, T_F, M),
@@ -108,14 +109,30 @@ def sweep_sampler():
 
         return jax.jit(run)
 
-    configs = [
-        ("xla", {}),
-        ("v1", {"tile": 256}),
-        ("v2", {"tile": 256, "dw_impl": "slice"}),
-        ("v2", {"tile": 256, "dw_impl": "roll"}),
-        ("v2", {"tile": 512, "dw_impl": "roll"}),
-        ("v2", {"tile": 512, "dw_impl": "slice"}),
-    ]
+    which = sys.argv[2] if len(sys.argv) > 2 else "base"
+    if which == "v3":
+        configs = [
+            ("v3", {"tile": 256}),
+            ("v3", {"tile": 128}),
+            ("v3", {"tile": 512}),
+        ]
+    elif which == "ablate":
+        # stage ablations of the v2 kernel: cost attribution, wrong results
+        configs = [
+            ("v2", {"tile": 256, "ablate": "dw"}),
+            ("v2", {"tile": 256, "ablate": "swiglu"}),
+            ("v2", {"tile": 256, "ablate": "ln"}),
+            ("v2", {"tile": 256, "ablate": "dw,swiglu,ln"}),
+        ]
+    else:
+        configs = [
+            ("xla", {}),
+            ("v1", {"tile": 256}),
+            ("v2", {"tile": 256, "dw_impl": "slice"}),
+            ("v2", {"tile": 256, "dw_impl": "roll"}),
+            ("v2", {"tile": 512, "dw_impl": "roll"}),
+            ("v2", {"tile": 512, "dw_impl": "slice"}),
+        ]
     for mode, kw in configs:
         fn = make_sample(mode, **kw)
         try:

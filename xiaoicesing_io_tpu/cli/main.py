@@ -362,7 +362,7 @@ def export():
 
 
 _format_opt = click.option(
-    "--format", "fmt", type=click.Choice(["stablehlo", "savedmodel"]),
+    "--format", "fmt", type=click.Choice(["stablehlo", "savedmodel", "onnx"]),
     default="stablehlo", show_default=True,
     help="Graph format: portable StableHLO, or a TF SavedModel "
          "(convertible offline to ONNX via tf2onnx)")

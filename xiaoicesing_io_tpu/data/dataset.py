@@ -27,6 +27,23 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _pad_batch_rows(batch: dict, n: int) -> dict:
+    """Append all-zero rows so the batch has exactly ``n`` rows.
+
+    Zero rows are pure padding: tokens == 0 (pad id) and mel2ph == 0, so
+    they carry no loss under the non-padding masks and no frames in the
+    throughput metric (see Trainer._collate_train).
+    """
+    b = next(iter(batch.values())).shape[0]
+    if n <= b:
+        return batch
+    pad = n - b
+    return {
+        k: np.pad(v, ((0, pad),) + ((0, 0),) * (v.ndim - 1))
+        for k, v in batch.items()
+    }
+
+
 class BaseDataset:
     def __init__(self, data_dir, prefix: str, size_key: str = "lengths",
                  preload: bool = False):
@@ -62,7 +79,8 @@ class AcousticDataset(BaseDataset):
             if cfg.get(f"use_{v}_embed", False)
         ]
 
-    def collate(self, indices: List[int], pad_to_bucket: bool = True) -> Dict[str, np.ndarray]:
+    def collate(self, indices: List[int], pad_to_bucket: bool = True,
+                pad_batch_to: int = 0) -> Dict[str, np.ndarray]:
         samples = [self[i] for i in indices]
         T_f = max(s["mel"].shape[0] for s in samples)
         T_ph = max(len(s["tokens"]) for s in samples)
@@ -87,6 +105,8 @@ class AcousticDataset(BaseDataset):
             )
         if self.cfg.get("use_spk_id", False):
             batch["spk_ids"] = np.asarray([s["spk_id"] for s in samples], np.int32)
+        if pad_batch_to:
+            batch = _pad_batch_rows(batch, pad_batch_to)
         return batch
 
 
@@ -100,7 +120,8 @@ class VarianceDataset(BaseDataset):
             if cfg.get(f"predict_{v}", False)
         ]
 
-    def collate(self, indices: List[int], pad_to_bucket: bool = True) -> Dict[str, np.ndarray]:
+    def collate(self, indices: List[int], pad_to_bucket: bool = True,
+                pad_batch_to: int = 0) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         samples = [self[i] for i in indices]
         T_ph = max(len(s["tokens"]) for s in samples)
@@ -153,4 +174,6 @@ class VarianceDataset(BaseDataset):
             ).astype(np.float32)
         if cfg.get("use_spk_id", False):
             batch["spk_ids"] = np.asarray([s["spk_id"] for s in samples], np.int32)
+        if pad_batch_to:
+            batch = _pad_batch_rows(batch, pad_batch_to)
         return batch

@@ -30,7 +30,7 @@ from ..utils.phonemes import PhonemeDictionary, locate_dictionary
 from ..utils.text_encoder import TokenTextEncoder
 
 
-FORMATS = ("stablehlo", "savedmodel")
+FORMATS = ("stablehlo", "savedmodel", "onnx")
 
 
 def _export_fn(fn, args, path: Path, name: str, fmt: str = "stablehlo"):
@@ -38,10 +38,21 @@ def _export_fn(fn, args, path: Path, name: str, fmt: str = "stablehlo"):
 
     ``stablehlo``: portable StableHLO bytes via ``jax.export``.
     ``savedmodel``: TensorFlow SavedModel via ``jax2tf`` — loadable by TF
-    Serving or convertible offline to ONNX with ``tf2onnx`` for OpenUTAU-style
-    consumers (the reference ships ONNX directly,
-    ref: deployment/exporters/acoustic_exporter.py:160-310).
+    Serving.
+    ``onnx``: real ``.onnx`` graphs via the in-tree jaxpr->ONNX converter
+    (``onnx_export.py``) — the reference's deployment product for OpenUTAU
+    (ref: deployment/exporters/acoustic_exporter.py:160-310); artifacts are
+    verified by the numpy executor in ``onnx_run.py``.
     """
+    if fmt == "onnx":
+        from .onnx_export import export_onnx
+
+        out = path / f"{name}.onnx"
+        data = export_onnx(
+            fn, [np.asarray(a) for a in args], out, graph_name=name
+        )
+        print(f"| export graph: {out} ({len(data) / 1e6:.2f} MB)")
+        return out
     if fmt == "stablehlo":
         from jax import export as jexport
 

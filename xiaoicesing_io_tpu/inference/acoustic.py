@@ -242,6 +242,8 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                     depth=cfg.get("K_step_infer", core.k_step),
                     speedup=cfg.get("diff_speedup", 10),
                     algorithm=cfg.get("diff_accelerator", "ddim"),
+                    solver_order=cfg.get("dpm_solver_order", 2),
+                    unipc_variant=cfg.get("unipc_variant", "bh2"),
                 )
             else:
                 x = core.inference(

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from ..common import sinusoidal_step_embedding
 from ...ops.pallas.lynx_conv import lynx_conv_module
 from ...ops.pallas.lynx_conv2 import lynx_layer_fused
+from ...ops.pallas.lynx_conv3 import lynx_layer_fused_v3
 
 
 def _dense(p, x):
@@ -66,8 +67,9 @@ def lynx_denoiser_apply(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     cond_projs=None,  # precomputed lynx_cond_projections (hoisted out of the loop)
-    fused_layer: bool = False,  # v2 kernel: whole residual layer in-kernel
+    fused_layer=False,  # True/"v2": whole-layer kernel; "v3": software-pipelined
     dw_impl: str = "slice",
+    ablate: str = "",  # v2 stage ablation for perf attribution (wrong results)
 ) -> jnp.ndarray:
     p = _resolve(params)
     B, F, T, M = spec.shape
@@ -90,11 +92,15 @@ def lynx_denoiser_apply(
         else:
             cond_proj = _dense(lp["conditioner_projection"], cond)
         if fused_layer and strong_cond:
-            # v2: the whole residual layer (cond/step pre-adds, conv module,
-            # residual) runs in one kernel
+            # v2/v3: the whole residual layer (cond/step pre-adds, conv
+            # module, residual) runs in one kernel; v3 software-pipelines
+            # the MXU and VPU stages across row tiles
             cm = lp["convmodule"]
             sp = _dense(lp["diffusion_projection"], step)
-            x = lynx_layer_fused(
+            layer_fn = (lynx_layer_fused_v3 if fused_layer == "v3"
+                        else lynx_layer_fused)
+            kw = {} if fused_layer == "v3" else {"ablate": ablate}
+            x = layer_fn(
                 x, cond_proj, sp,
                 cm["norm"]["scale"], cm["norm"]["bias"],
                 cm["pw_in"]["kernel"], cm["pw_in"]["bias"],
@@ -102,7 +108,7 @@ def lynx_denoiser_apply(
                 cm["act"]["alpha"],
                 cm["pw_out"]["kernel"], cm["pw_out"]["bias"],
                 kernel_size=kernel_size, tile=tile, dw_impl=dw_impl,
-                interpret=interpret,
+                interpret=interpret, **kw,
             ).astype(compute_dtype)
             continue
         if strong_cond:

@@ -114,6 +114,8 @@ class GaussianDiffusion:
         depth: Optional[int] = None,
         speedup: int = 1,
         algorithm: str = "ddim",
+        solver_order: int = 2,
+        unipc_variant: str = "bh2",
         noise: Optional[jnp.ndarray] = None,  # parity testing: external noise
     ) -> jnp.ndarray:
         """Run the sampling loop; returns model-domain x [B, F, T, M].
@@ -142,12 +144,14 @@ class GaussianDiffusion:
             elif algorithm == "pndm":
                 x = samplers.sample_plms(self.schedule, denoise_fn, x, t_max, speedup)
             elif algorithm == "dpm-solver":
-                x = samplers.sample_dpmpp_2m(
-                    self.schedule, denoise_fn, x, t_max, t_max // speedup
+                x = samplers.sample_dpmpp(
+                    self.schedule, denoise_fn, x, t_max, t_max // speedup,
+                    order=solver_order,
                 )
             elif algorithm == "unipc":
                 x = samplers.sample_unipc_bh2(
-                    self.schedule, denoise_fn, x, t_max, t_max // speedup
+                    self.schedule, denoise_fn, x, t_max, t_max // speedup,
+                    variant=unipc_variant,
                 )
             else:
                 raise ValueError(f"Unsupported DDPM acceleration algorithm: {algorithm}")

@@ -218,6 +218,94 @@ def _model_t_input(t_cont: np.ndarray, t_max: int) -> np.ndarray:
 # DPM-Solver++ (2M, multistep, data prediction)
 # ---------------------------------------------------------------------------
 
+def sample_dpmpp(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t_max: int,
+    steps: int,
+    order: int = 2,
+    lower_order_final: bool = True,
+) -> jnp.ndarray:
+    """DPM-Solver++ multistep (orders 1-3) with time_uniform skip.
+
+    Faithful to DPM_Solver(algorithm_type='dpmsolver++').sample(steps, order,
+    skip_type='time_uniform', method='multistep') over a discrete schedule
+    truncated at ``t_max`` (ref call site: ddpm.py:246-284; order-3 update:
+    dpm_solver_pytorch.py multistep_dpm_solver_third_update).  Warmup steps
+    ramp the order 1,2,...; ``lower_order_final`` caps the last steps' order
+    when steps < 10, matching the vendored solver.
+    """
+    assert 1 <= order <= 3, order
+    ts = _solver_time_grid(t_max, steps)
+    log_a, sigma, lam = _marginals(schedule, t_max, ts)
+    alpha = np.exp(log_a)
+    t_in = _model_t_input(ts, t_max)
+    b = x.shape[0]
+
+    # Per-step coefficients for steps i = 1..steps (update ts[i-1] -> ts[i]):
+    #   x_new = c_x*x + c_m*m0 + c_a*(m0 - m1) + c_b*(m1 - m2)
+    c_x = np.empty(steps)
+    c_m = np.empty(steps)
+    c_a = np.zeros(steps)
+    c_b = np.zeros(steps)
+    for i in range(1, steps + 1):
+        h = lam[i] - lam[i - 1]
+        phi_1 = np.expm1(-h)
+        c_x[i - 1] = sigma[i] / sigma[i - 1]
+        c_m[i - 1] = -alpha[i] * phi_1
+        step_order = min(order, i)  # warmup ramp
+        if lower_order_final and steps < 10:
+            step_order = min(step_order, steps + 1 - i)
+        if step_order >= 2:
+            h_0 = lam[i - 1] - lam[i - 2]
+            r0 = h_0 / h
+            if step_order == 2:
+                c_a[i - 1] = -0.5 * alpha[i] * phi_1 / r0
+            else:
+                h_1 = lam[i - 2] - lam[i - 3]
+                r1 = h_1 / h
+                phi_2 = phi_1 / h + 1.0
+                phi_3 = phi_2 / h - 0.5
+                w = r0 / (r0 + r1)
+                # D1 = D1_0 + w*(D1_0 - D1_1); D2 = (D1_0 - D1_1)/(r0+r1)
+                # x += alpha*phi_2*D1 - alpha*phi_3*D2
+                c_a[i - 1] = alpha[i] * (
+                    phi_2 * (1.0 + w) - phi_3 / (r0 + r1)
+                ) / r0
+                c_b[i - 1] = alpha[i] * (
+                    -phi_2 * w + phi_3 / (r0 + r1)
+                ) / r1
+
+    eps0 = denoise_fn(x, _bcast_t(jnp.asarray(t_in[0], jnp.float32), b))
+    m0 = (x - float(sigma[0]) * eps0) / float(alpha[0])
+
+    def body(carry, inp):
+        x, m_0, m_1, m_2 = carry  # m_0 newest
+        is_last, cx, cm, ca, cb, tin, sig, alp = inp
+        x_new = cx * x + cm * m_0 + ca * (m_0 - m_1) + cb * (m_1 - m_2)
+
+        def eval_model(_):
+            eps = denoise_fn(x_new, _bcast_t(tin, b))
+            return (x_new - sig * eps) / alp
+
+        m_new = jax.lax.cond(is_last > 0.5, lambda _: m_0, eval_model, None)
+        return (x_new, m_new, m_0, m_1), None
+
+    xs = (
+        jnp.asarray((np.arange(1, steps + 1) == steps).astype(np.float32)),
+        jnp.asarray(c_x, jnp.float32),
+        jnp.asarray(c_m, jnp.float32),
+        jnp.asarray(c_a, jnp.float32),
+        jnp.asarray(c_b, jnp.float32),
+        jnp.asarray(t_in[1:], jnp.float32),
+        jnp.asarray(sigma[1:], jnp.float32),
+        jnp.asarray(alpha[1:], jnp.float32),
+    )
+    (x, _, _, _), _ = jax.lax.scan(body, (x, m0, m0, m0), xs)
+    return x
+
+
 def sample_dpmpp_2m(
     schedule: DiffusionSchedule,
     denoise_fn: DenoiseFn,
@@ -226,63 +314,9 @@ def sample_dpmpp_2m(
     steps: int,
     lower_order_final: bool = True,
 ) -> jnp.ndarray:
-    """DPM-Solver++ multistep order-2 with time_uniform skip.
-
-    Faithful to DPM_Solver(algorithm_type='dpmsolver++').sample(steps, order=2,
-    skip_type='time_uniform', method='multistep') over a discrete schedule
-    truncated at ``t_max`` (ref call site: ddpm.py:246-284).
-    """
-    ts = _solver_time_grid(t_max, steps)
-    log_a, sigma, lam = _marginals(schedule, t_max, ts)
-    alpha = np.exp(log_a)
-    t_in = _model_t_input(ts, t_max)
-    b = x.shape[0]
-
-    # Per-step coefficients for steps i = 1..steps (update from ts[i-1] -> ts[i])
-    c_x = np.empty(steps)
-    c_m = np.empty(steps)
-    c_d = np.empty(steps)  # coefficient on D1_0 (0 for first-order steps)
-    for i in range(1, steps + 1):
-        h = lam[i] - lam[i - 1]
-        phi_1 = np.expm1(-h)
-        c_x[i - 1] = sigma[i] / sigma[i - 1]
-        c_m[i - 1] = -alpha[i] * phi_1
-        if i == 1:
-            c_d[i - 1] = 0.0
-        else:
-            h_0 = lam[i - 1] - lam[i - 2]
-            r0 = h_0 / h
-            order2 = True
-            if lower_order_final and steps < 10:
-                order2 = min(2, steps + 1 - i) >= 2
-            c_d[i - 1] = -0.5 * alpha[i] * phi_1 / r0 if order2 else 0.0
-
-    eps0 = denoise_fn(x, _bcast_t(jnp.asarray(t_in[0], jnp.float32), b))
-    m0 = (x - float(sigma[0]) * eps0) / float(alpha[0])
-
-    def body(carry, inp):
-        x, m_0, m_1 = carry  # m_0 newest
-        is_last, cx, cm, cd, tin, sig, alp = inp
-        x_new = cx * x + cm * m_0 + cd * (m_0 - m_1)
-
-        def eval_model(_):
-            eps = denoise_fn(x_new, _bcast_t(tin, b))
-            return (x_new - sig * eps) / alp
-
-        m_new = jax.lax.cond(is_last > 0.5, lambda _: m_0, eval_model, None)
-        return (x_new, m_new, m_0), None
-
-    xs = (
-        jnp.asarray((np.arange(1, steps + 1) == steps).astype(np.float32)),
-        jnp.asarray(c_x, jnp.float32),
-        jnp.asarray(c_m, jnp.float32),
-        jnp.asarray(c_d, jnp.float32),
-        jnp.asarray(t_in[1:], jnp.float32),
-        jnp.asarray(sigma[1:], jnp.float32),
-        jnp.asarray(alpha[1:], jnp.float32),
-    )
-    (x, _, _), _ = jax.lax.scan(body, (x, m0, m0), xs)
-    return x
+    """DPM-Solver++ multistep order-2 (the reference call-site default)."""
+    return sample_dpmpp(schedule, denoise_fn, x, t_max, steps, order=2,
+                        lower_order_final=lower_order_final)
 
 
 # ---------------------------------------------------------------------------
@@ -295,8 +329,11 @@ def sample_unipc_bh2(
     x: jnp.ndarray,
     t_max: int,
     steps: int,
+    variant: str = "bh2",
 ) -> jnp.ndarray:
-    """UniPC variant bh2, order 2, time_uniform, multistep.
+    """UniPC order 2, time_uniform, multistep; ``variant`` in {bh1, bh2}
+    selects B(h) = h (bh1) or expm1(h) (bh2), as in the vendored
+    uni_pc.py:430-436.
 
     Faithful to UniPC(variant='bh2').sample(steps, order=2,
     skip_type='time_uniform', method='multistep', lower_order_final=True)
@@ -326,7 +363,7 @@ def sample_unipc_bh2(
         h = lam[i] - lam[i - 1]
         hh = -h
         h_phi_1 = np.expm1(hh)
-        B_h = np.expm1(hh)  # bh2
+        B_h = hh if variant == "bh1" else np.expm1(hh)
         b1 = (h_phi_1 / hh - 1.0) / B_h
         b2 = ((h_phi_1 / hh - 1.0) / hh - 0.5) * 2.0 / B_h
         # step order (lower_order_final semantics of uni_pc.py)

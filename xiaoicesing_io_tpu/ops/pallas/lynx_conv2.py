@@ -59,20 +59,29 @@ def _kernel(
     pad_l: int,
     seq_len: int,
     dw_impl: str,
+    ablate: str = "",
 ):
+    # ``ablate`` disables stages for on-chip cost attribution ONLY (results
+    # are wrong when set); see tools/perf_sweep.py
     res = x_ref[0, 0]                       # [tile + k - 1, dim] bf16
     h = res.astype(jnp.float32) + step_ref[0]
 
-    # LayerNorm over channels (f32)
-    mean = jnp.mean(h, axis=1, keepdims=True)
-    var = jnp.mean((h - mean) ** 2, axis=1, keepdims=True)
-    xn = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-    xn = (xn * ln_scale_ref[...] + ln_bias_ref[...]).astype(jnp.bfloat16)
+    if "ln" in ablate:
+        xn = h.astype(jnp.bfloat16)
+    else:
+        # LayerNorm over channels (f32)
+        mean = jnp.mean(h, axis=1, keepdims=True)
+        var = jnp.mean((h - mean) ** 2, axis=1, keepdims=True)
+        xn = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+        xn = (xn * ln_scale_ref[...] + ln_bias_ref[...]).astype(jnp.bfloat16)
 
     out_b = jnp.dot(xn, w_out_ref[...], preferred_element_type=jnp.float32)
-    gate_b = jnp.dot(xn, w_gate_ref[...], preferred_element_type=jnp.float32)
-    g = gate_b + b_gate_ref[...]
-    inner = (out_b + b_out_ref[...]) * (g * jax.nn.sigmoid(g))  # SwiGLU
+    if "swiglu" in ablate:
+        inner = out_b + b_out_ref[...]
+    else:
+        gate_b = jnp.dot(xn, w_gate_ref[...], preferred_element_type=jnp.float32)
+        g = gate_b + b_gate_ref[...]
+        inner = (out_b + b_out_ref[...]) * (g * jax.nn.sigmoid(g))  # SwiGLU
 
     # zero the conv's padding rows: window row j of tile i is padded row
     # i*tile + j; valid padded rows are [pad_l, pad_l + seq_len)
@@ -83,7 +92,9 @@ def _kernel(
 
     # depthwise conv over the row (time) axis
     acc = jnp.zeros((tile, inner.shape[1]), jnp.float32)
-    if dw_impl == "roll":
+    if "dw" in ablate:
+        acc = inner[:tile, :]
+    elif dw_impl == "roll":
         # cyclic roll per tap + aligned [0:tile] view; the k-1 spare tail
         # rows absorb the wrap-around so [0:tile] never sees wrapped data
         n_rows = inner.shape[0]
@@ -107,7 +118,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_size", "tile", "dw_impl", "interpret"),
+    static_argnames=("kernel_size", "tile", "dw_impl", "ablate", "interpret"),
 )
 def lynx_layer_fused(
     x: jnp.ndarray,          # [B, T, dim] layer input
@@ -124,6 +135,7 @@ def lynx_layer_fused(
     kernel_size: int = 31,
     tile: int = 256,
     dw_impl: str = "slice",
+    ablate: str = "",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One full strong_cond LYNX residual layer: ConvModule(x+cond+step) + (x+cond)."""
@@ -154,6 +166,7 @@ def lynx_layer_fused(
     out = pl.pallas_call(
         functools.partial(
             _kernel, k=k, tile=tile, pad_l=pad_l, seq_len=T, dw_impl=dw_impl,
+            ablate=ablate,
         ),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles, tile, dim), x.dtype),
         grid=(B, n_tiles),

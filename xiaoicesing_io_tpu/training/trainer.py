@@ -95,13 +95,47 @@ class Trainer:
         self.val_check_interval = cfg.get("val_check_interval", 2000)
         self.num_devices = len(jax.devices())
 
+    def _collate_train(self, indices):
+        """Form a train batch with a BOUNDED set of compiled shapes.
+
+        With raw frame-budget batching every distinct item count is its own
+        XLA program (round-1 measured 2.4-3x below the jitted-step ceiling,
+        largely first-epoch compiles + padding).  Here the batch row count is
+        a FUNCTION of the padded frame length: B_target = budget // T_pad
+        (clamped to max_batch_size, rounded to the local device count), so
+        the shape-class count equals the number of frame buckets.  The extra
+        rows are ZERO rows — mel2ph == 0 everywhere, so they carry no loss
+        (masked, same .mean() semantics as the reference's DiffusionLoss)
+        and no audio-seconds in the throughput metric.
+
+        Disable with ``fixed_shape_batches: false`` to get the raw
+        duplicate-item padding (reference DsBatchSampler semantics).
+        """
+        if not self.cfg.get("fixed_shape_batches", True):
+            return self.collate(self._pad_indices(indices))
+        ds = self.train_dataset
+        from ..data.dataset import FRAME_BUCKET, _round_up
+
+        frames = max(ds.num_frames(i) for i in indices)
+        t_pad = _round_up(int(frames), FRAME_BUCKET)
+        budget = int(self.cfg.get("max_batch_frames", 50000))
+        b_target = max(len(indices), budget // max(t_pad, 1))
+        b_target = min(b_target, int(self.cfg.get("max_batch_size", 64)))
+        b_target = max(b_target, len(indices))
+        b_target = _round_up(b_target, self.n_local)
+        return self.collate(indices, pad_batch_to=b_target)
+
     def _prefetch(self, sampler, depth: Optional[int] = None):
-        """Collate batches in a background thread so host-side data prep
-        overlaps device steps (the reference overlaps via
-        ``ds_workers`` DataLoader worker processes with
-        ``dataloader_prefetch_factor`` batches in flight each; a single
+        """Collate AND device_put batches in a background thread so host-side
+        data prep and host->device transfer overlap device steps (the
+        reference overlaps via ``ds_workers`` DataLoader worker processes
+        with ``dataloader_prefetch_factor`` batches in flight each; a single
         thread suffices here since collate is numpy-bound, and the prefetch
-        window honors the same config key)."""
+        window honors the same config key).
+
+        Yields ``(device_batch, real_frames)`` — the non-padding frame count
+        is computed host-side before the transfer.
+        """
         import queue
         import threading
 
@@ -117,7 +151,14 @@ class Trainer:
         def producer():
             try:
                 for indices in sampler:
-                    q.put(self.collate(self._pad_indices(indices)))
+                    batch_np = self._collate_train(indices)
+                    real_frames = (
+                        int((batch_np["mel2ph"] > 0).sum())
+                        if "mel2ph" in batch_np else 0
+                    )
+                    # dispatch the transfer from the producer: step i's
+                    # compute overlaps batch i+1's host->device copy
+                    q.put((shard_batch(batch_np, self.mesh), real_frames))
                 q.put(stop)
             except BaseException as e:  # surface in the main thread
                 q.put(_Raised(e))
@@ -212,14 +253,12 @@ class Trainer:
             print(f"| capturing profiler trace for {trace_steps} steps -> {trace_dir}")
         while step < self.max_updates:
             sampler = self._make_sampler(epoch)
-            for batch_idx, batch_np in enumerate(self._prefetch(sampler)):
+            for batch_idx, (batch, real_frames) in enumerate(self._prefetch(sampler)):
                 if step >= self.max_updates:
                     break
-                if "mel2ph" in batch_np:
-                    # real (non-padding) frames only, so the audio-seconds
-                    # metric is not inflated by bucket/batch padding
-                    frames_since_log += int((batch_np["mel2ph"] > 0).sum())
-                batch = shard_batch(batch_np, self.mesh)
+                # real (non-padding) frames only, so the audio-seconds
+                # metric is not inflated by bucket/batch padding
+                frames_since_log += real_frames
                 key, sub = jax.random.split(key)
                 self.state, metrics = self.train_step(self.state, batch, sub)
                 micro += 1

@@ -235,6 +235,8 @@ def sample_variance_inference(
                 depth=cfg.get("K_step_infer", core.k_step),
                 speedup=cfg.get("diff_speedup", 10),
                 algorithm=cfg.get("diff_accelerator", "ddim"),
+                solver_order=cfg.get("dpm_solver_order", 2),
+                unipc_variant=cfg.get("unipc_variant", "bh2"),
             )
         return core.inference(
             denoise, k, shape, t_start=0.0,
