@@ -112,7 +112,10 @@ def main():
     vparams = gen.init(
         jax.random.PRNGKey(2), jnp.zeros((B, T_F, M)), jnp.full((B, T_F), 220.0)
     )
-    fast_voc = FastNsfHifigan(vcfg, vparams, dtype=jnp.bfloat16)
+    # stages 0-1 as fused whole-stage Pallas kernels: 110.7 -> 89.5 ms
+    # (docs/PerformanceNotes.md round-2 sweep)
+    fast_voc = FastNsfHifigan(vcfg, vparams, dtype=jnp.bfloat16,
+                              pallas_stages=(0, 1), pallas_tile=1024)
 
     fn = jax.jit(synthesize)
     key = jax.random.PRNGKey(1)

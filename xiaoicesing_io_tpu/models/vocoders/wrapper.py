@@ -40,10 +40,20 @@ class NsfHifiGAN:
         self._check_params()
         if cfg.get("use_folded_vocoder", True):
             # lane-packed folded layout (see nsf_fast.py) — same weights,
-            # several-fold faster on TPU
+            # several-fold faster on TPU; stages 0-1 additionally run as
+            # fused whole-stage Pallas kernels on TPU backends
+            # (vocoder_pallas_stages: [] to disable)
             from .nsf_fast import FastNsfHifigan
 
-            fast = FastNsfHifigan(self.vcfg, self.params, dtype=jnp.bfloat16)
+            on_tpu = jax.devices()[0].platform != "cpu"
+            stages = cfg.get(
+                "vocoder_pallas_stages", (0, 1) if on_tpu else ()
+            )
+            fast = FastNsfHifigan(
+                self.vcfg, self.params, dtype=jnp.bfloat16,
+                pallas_stages=tuple(stages),
+                pallas_tile=int(cfg.get("vocoder_pallas_tile", 1024)),
+            )
             self._spec2wav = lambda params, mel, f0, key: fast(mel, f0, key)
         else:
             def _stock(params, mel, f0, key):
