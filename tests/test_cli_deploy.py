@@ -6,6 +6,8 @@ from pathlib import Path
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
 from click.testing import CliRunner
 
 from xiaoicesing_io_tpu.config import Config, load_config

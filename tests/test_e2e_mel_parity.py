@@ -14,7 +14,10 @@ import numpy as np
 import pytest
 
 REFERENCE = Path("/root/reference")
-pytestmark = pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
+pytestmark = [
+    pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted"),
+    pytest.mark.slow,  # heavy tier: run the fast tier with -m 'not slow'
+]
 
 if REFERENCE.exists():
     sys.path.insert(0, str(REFERENCE))

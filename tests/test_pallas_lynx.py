@@ -122,3 +122,30 @@ def test_lynx_layer_v3_matches_v2(rng, B, T, dim, k, tile):
     out = np.asarray(lynx_layer_fused_v3(*args, kernel_size=k, tile=tile,
                                          interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("chunk", [2, 4])
+def test_lynx_layer_fused_chunked_matches(rng, chunk):
+    """multi-sub-tile programs (MXU/VPU overlap structure) == chunk=1."""
+    from xiaoicesing_io_tpu.ops.pallas.lynx_conv2 import lynx_layer_fused
+
+    B, T, dim, k, tile = 2, 300, 128, 31, 64
+    module = LYNXConvModule(dim=dim, expansion_factor=2, kernel_size=k)
+    x = jnp.asarray(rng.standard_normal((B, T, dim)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, dim)).astype(np.float32))
+    step = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(0), x + cond)
+    p = params["params"]
+    args = (
+        x, cond, step,
+        p["norm"]["scale"], p["norm"]["bias"],
+        p["pw_in"]["kernel"], p["pw_in"]["bias"],
+        p["dw_conv"]["kernel"], p["dw_conv"]["bias"],
+        p["act"]["alpha"],
+        p["pw_out"]["kernel"], p["pw_out"]["bias"],
+    )
+    ref = np.asarray(lynx_layer_fused(*args, kernel_size=k, tile=tile,
+                                      interpret=True))
+    out = np.asarray(lynx_layer_fused(*args, kernel_size=k, tile=tile,
+                                      chunk=chunk, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)

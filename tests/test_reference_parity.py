@@ -16,7 +16,10 @@ import numpy as np
 import pytest
 
 REFERENCE = Path("/root/reference")
-pytestmark = pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
+pytestmark = [
+    pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted"),
+    pytest.mark.slow,  # heavy tier: run the fast tier with -m 'not slow'
+]
 
 
 def _install_lightning_stub():

@@ -6,6 +6,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
+
 from xiaoicesing_io_tpu.config import Config, load_config
 from xiaoicesing_io_tpu.utils.audio import save_wav
 

@@ -63,3 +63,22 @@ def test_wavenet_pallas_apply_matches_flax(rng):
     np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_wavenet_block_chunked_matches(rng):
+    """chunk>1 (overlap structure) == chunk=1."""
+    from xiaoicesing_io_tpu.ops.pallas.wavenet_block import wavenet_block
+
+    B, T, C = 2, 300, 64
+    y = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, 2 * C)).astype(np.float32))
+    ck = jnp.asarray(0.1 * rng.standard_normal((3, C, 2 * C)).astype(np.float32))
+    cb = jnp.asarray(0.1 * rng.standard_normal(2 * C).astype(np.float32))
+    ok = jnp.asarray(0.1 * rng.standard_normal((C, 2 * C)).astype(np.float32))
+    ob = jnp.asarray(0.1 * rng.standard_normal(2 * C).astype(np.float32))
+    r1, s1 = wavenet_block(y, cond, ck, cb, ok, ob, dilation=2, tile=64,
+                           interpret=True)
+    r2, s2 = wavenet_block(y, cond, ck, cb, ok, ob, dilation=2, tile=64,
+                           chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)

@@ -9,6 +9,7 @@ Usage:  python tools/perf_sweep.py sampler|vocoder|all
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -71,7 +72,7 @@ def sweep_sampler():
     bargs = cfg["backbone_args"]
     key = jax.random.PRNGKey(1)
 
-    def make_sample(mode, tile=256, dw_impl="slice", ablate=""):
+    def make_sample(mode, tile=256, dw_impl="slice", ablate="", chunks=1):
         def run(params, tokens, mel2ph, f0, key):
             cond = model.apply(params, tokens, mel2ph, f0,
                                method=AcousticModel.condition)
@@ -98,6 +99,7 @@ def sweep_sampler():
                         fused_layer=("v3" if mode == "v3" else mode == "v2"),
                         dw_impl=dw_impl,
                         ablate=ablate,
+                        chunks=chunks,
                     ).astype(jnp.float32)
             x = core.inference(
                 velocity_fn, key, (B, 1, T_F, M),
@@ -115,6 +117,13 @@ def sweep_sampler():
             ("v3", {"tile": 256}),
             ("v3", {"tile": 128}),
             ("v3", {"tile": 512}),
+        ]
+    elif which == "chunk":
+        configs = [
+            ("v2", {"tile": 256, "chunks": 2}),
+            ("v2", {"tile": 256, "chunks": 4}),
+            ("v2", {"tile": 128, "chunks": 4}),
+            ("v2", {"tile": 128, "chunks": 8}),
         ]
     elif which == "ablate":
         # stage ablations of the v2 kernel: cost attribution, wrong results
@@ -186,9 +195,45 @@ def sweep_vocoder():
         )
 
 
+def sweep_wavenet():
+    """XLA vs Pallas wavenet step at the acoustic WaveNet shape."""
+    from xiaoicesing_io_tpu.models.backbones import build_backbone
+    from xiaoicesing_io_tpu.models.backbones.wavenet_pallas import (
+        wavenet_denoiser_apply,
+    )
+
+    M, H, C, L = 128, 256, 512, 20
+    bb = build_backbone(M, 1, "wavenet",
+                        {"num_layers": L, "num_channels": C,
+                         "dilation_cycle_length": 4}, cond_dims=H)
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.standard_normal((B, 1, T_F, M)).astype(np.float32))
+    step = jnp.full((B,), 123.0)
+    cond = jnp.asarray(rng.standard_normal((B, T_F, H)).astype(np.float32))
+    params = bb.init(jax.random.PRNGKey(0), spec, step, cond)
+
+    xla = jax.jit(lambda p, s, t, c: bb.apply(p, s, t, c))
+    t = _time(lambda: xla(params, spec, step, cond), iters=20)
+    print(f"wavenet xla: {t*1000:.2f} ms/step", flush=True)
+    for tile, chunk in [(256, 1), (256, 4), (128, 4), (128, 8)]:
+        fn = jax.jit(functools.partial(
+            wavenet_denoiser_apply, num_layers=L, dilation_cycle_length=4,
+            tile=tile, chunk=chunk,
+        ))
+        try:
+            t = _time(lambda: fn(params, spec, step, cond), iters=20)
+        except Exception as e:  # noqa: BLE001
+            print(f"wavenet pallas tile={tile} chunk={chunk}: FAILED {e}")
+            continue
+        print(f"wavenet pallas tile={tile} chunk={chunk}: {t*1000:.2f} ms/step",
+              flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("sampler", "all"):
         sweep_sampler()
+    if which == "wavenet":
+        sweep_wavenet()
     if which in ("vocoder", "all"):
         sweep_vocoder()

@@ -99,7 +99,8 @@ def lynx_denoiser_apply(
             sp = _dense(lp["diffusion_projection"], step)
             layer_fn = (lynx_layer_fused_v3 if fused_layer == "v3"
                         else lynx_layer_fused)
-            kw = {} if fused_layer == "v3" else {"ablate": ablate}
+            kw = ({} if fused_layer == "v3"
+                  else {"ablate": ablate, "chunk": chunks})
             x = layer_fn(
                 x, cond_proj, sp,
                 cm["norm"]["scale"], cm["norm"]["bias"],

@@ -35,6 +35,7 @@ def wavenet_denoiser_apply(
     num_layers: int = 20,
     dilation_cycle_length: int = 4,
     tile: int = 256,
+    chunk: int = 1,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
@@ -65,7 +66,7 @@ def wavenet_denoiser_apply(
             lp["dilated_conv"]["kernel"], lp["dilated_conv"]["bias"],
             lp["output_projection"]["kernel"], lp["output_projection"]["bias"],
             dilation=2 ** (i % dilation_cycle_length),
-            tile=tile, interpret=interpret,
+            tile=tile, chunk=chunk, interpret=interpret,
         )
         x = (x + residual.astype(compute_dtype)) * inv_sqrt2
         skip_sum = skip_sum + skip.astype(compute_dtype)

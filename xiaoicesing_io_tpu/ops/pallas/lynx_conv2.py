@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    x_ref,       # [1, 1, tile + k - 1, dim] windows of (x + cond_proj), bf16
+    x_ref,       # [1, chunk, tile + k - 1, dim] windows of (x+cond), bf16
     step_ref,    # [1, 1, dim] step embedding for this batch row, f32
     ln_scale_ref, ln_bias_ref,   # [1, dim]
     w_out_ref, w_gate_ref,       # [dim, inner] halves of pw_in
@@ -52,73 +52,82 @@ def _kernel(
     alpha_ref,   # [1, inner] PReLU slope
     w2_ref,      # [inner, dim]
     b2_ref,      # [1, dim]
-    o_ref,       # [1, 1, tile, dim]
+    o_ref,       # [1, chunk, tile, dim]
     *,
     k: int,
     tile: int,
     pad_l: int,
     seq_len: int,
+    chunk: int,
     dw_impl: str,
     ablate: str = "",
 ):
+    # ``chunk`` sub-tiles are processed per program as INDEPENDENT value
+    # chains — Mosaic dual-issues sub-tile B's matmuls under sub-tile A's
+    # VPU stage (measured 73-100% overlap, tools/overlap_probe*.py).
     # ``ablate`` disables stages for on-chip cost attribution ONLY (results
-    # are wrong when set); see tools/perf_sweep.py
-    res = x_ref[0, 0]                       # [tile + k - 1, dim] bf16
-    h = res.astype(jnp.float32) + step_ref[0]
+    # are wrong when set); see tools/perf_sweep.py.
+    for c in range(chunk):
+        res = x_ref[0, c]                   # [tile + k - 1, dim] bf16
+        h = res.astype(jnp.float32) + step_ref[0]
 
-    if "ln" in ablate:
-        xn = h.astype(jnp.bfloat16)
-    else:
-        # LayerNorm over channels (f32)
-        mean = jnp.mean(h, axis=1, keepdims=True)
-        var = jnp.mean((h - mean) ** 2, axis=1, keepdims=True)
-        xn = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-        xn = (xn * ln_scale_ref[...] + ln_bias_ref[...]).astype(jnp.bfloat16)
+        if "ln" in ablate:
+            xn = h.astype(jnp.bfloat16)
+        else:
+            # LayerNorm over channels (f32)
+            mean = jnp.mean(h, axis=1, keepdims=True)
+            var = jnp.mean((h - mean) ** 2, axis=1, keepdims=True)
+            xn = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+            xn = (xn * ln_scale_ref[...] + ln_bias_ref[...]).astype(jnp.bfloat16)
 
-    out_b = jnp.dot(xn, w_out_ref[...], preferred_element_type=jnp.float32)
-    if "swiglu" in ablate:
-        inner = out_b + b_out_ref[...]
-    else:
-        gate_b = jnp.dot(xn, w_gate_ref[...], preferred_element_type=jnp.float32)
-        g = gate_b + b_gate_ref[...]
-        inner = (out_b + b_out_ref[...]) * (g * jax.nn.sigmoid(g))  # SwiGLU
+        out_b = jnp.dot(xn, w_out_ref[...], preferred_element_type=jnp.float32)
+        if "swiglu" in ablate:
+            inner = out_b + b_out_ref[...]
+        else:
+            gate_b = jnp.dot(xn, w_gate_ref[...],
+                             preferred_element_type=jnp.float32)
+            g = gate_b + b_gate_ref[...]
+            inner = (out_b + b_out_ref[...]) * (g * jax.nn.sigmoid(g))  # SwiGLU
 
-    # zero the conv's padding rows: window row j of tile i is padded row
-    # i*tile + j; valid padded rows are [pad_l, pad_l + seq_len)
-    row0 = pl.program_id(1) * tile
-    gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, (inner.shape[0], 1), 0)
-    valid = (gidx >= pad_l) & (gidx < pad_l + seq_len)
-    inner = jnp.where(valid, inner, 0.0)
+        # zero the conv's padding rows: window row j of sub-tile (i, c) is
+        # padded row (i*chunk + c)*tile + j; valid rows [pad_l, pad_l+seq_len)
+        row0 = (pl.program_id(1) * chunk + c) * tile
+        gidx = row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (inner.shape[0], 1), 0
+        )
+        valid = (gidx >= pad_l) & (gidx < pad_l + seq_len)
+        inner = jnp.where(valid, inner, 0.0)
 
-    # depthwise conv over the row (time) axis
-    acc = jnp.zeros((tile, inner.shape[1]), jnp.float32)
-    if "dw" in ablate:
-        acc = inner[:tile, :]
-    elif dw_impl == "roll":
-        # cyclic roll per tap + aligned [0:tile] view; the k-1 spare tail
-        # rows absorb the wrap-around so [0:tile] never sees wrapped data
-        n_rows = inner.shape[0]
-        for tap in range(k):
-            # roll shift must be non-negative: -tap == n_rows - tap (cyclic)
-            shifted = pltpu.roll(inner, n_rows - tap, 0) if tap else inner
-            acc = acc + shifted[:tile, :] * dw_ref[tap, :][None, :]
-    else:
-        for tap in range(k):
-            acc = acc + inner[tap : tap + tile, :] * dw_ref[tap, :][None, :]
-    acc = acc + dw_bias_ref[...]
+        # depthwise conv over the row (time) axis
+        acc = jnp.zeros((tile, inner.shape[1]), jnp.float32)
+        if "dw" in ablate:
+            acc = inner[:tile, :]
+        elif dw_impl == "roll":
+            # cyclic roll per tap + aligned [0:tile] view; the k-1 spare
+            # tail rows absorb the wrap-around
+            n_rows = inner.shape[0]
+            for tap in range(k):
+                # roll shift must be non-negative: -tap == n_rows - tap
+                shifted = pltpu.roll(inner, n_rows - tap, 0) if tap else inner
+                acc = acc + shifted[:tile, :] * dw_ref[tap, :][None, :]
+        else:
+            for tap in range(k):
+                acc = acc + inner[tap : tap + tile, :] * dw_ref[tap, :][None, :]
+        acc = acc + dw_bias_ref[...]
 
-    # PReLU
-    acc = jnp.where(acc >= 0, acc, alpha_ref[...] * acc)
+        # PReLU
+        acc = jnp.where(acc >= 0, acc, alpha_ref[...] * acc)
 
-    out = jnp.dot(acc.astype(jnp.bfloat16), w2_ref[...],
-                  preferred_element_type=jnp.float32)
-    out = out + b2_ref[...] + res[pad_l : pad_l + tile].astype(jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+        out = jnp.dot(acc.astype(jnp.bfloat16), w2_ref[...],
+                      preferred_element_type=jnp.float32)
+        out = out + b2_ref[...] + res[pad_l : pad_l + tile].astype(jnp.float32)
+        o_ref[0, c] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_size", "tile", "dw_impl", "ablate", "interpret"),
+    static_argnames=("kernel_size", "tile", "chunk", "dw_impl", "ablate",
+                     "interpret"),
 )
 def lynx_layer_fused(
     x: jnp.ndarray,          # [B, T, dim] layer input
@@ -134,6 +143,7 @@ def lynx_layer_fused(
     b2,                      # [dim]
     kernel_size: int = 31,
     tile: int = 256,
+    chunk: int = 1,
     dw_impl: str = "slice",
     ablate: str = "",
     interpret: bool = False,
@@ -147,6 +157,7 @@ def lynx_layer_fused(
     assert pad_l + pad_r == k - 1
 
     n_tiles = (T + tile - 1) // tile
+    n_tiles = ((n_tiles + chunk - 1) // chunk) * chunk  # chunk-divisible
     total = n_tiles * tile
 
     # one fused XLA pass: add + pad + overlapping-window gather, per sequence
@@ -165,13 +176,14 @@ def lynx_layer_fused(
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, k=k, tile=tile, pad_l=pad_l, seq_len=T, dw_impl=dw_impl,
-            ablate=ablate,
+            _kernel, k=k, tile=tile, pad_l=pad_l, seq_len=T, chunk=chunk,
+            dw_impl=dw_impl, ablate=ablate,
         ),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles, tile, dim), x.dtype),
-        grid=(B, n_tiles),
+        grid=(B, n_tiles // chunk),
         in_specs=[
-            pl.BlockSpec((1, 1, tile + k - 1, dim), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, chunk, tile + k - 1, dim),
+                         lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, dim), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -181,7 +193,8 @@ def lynx_layer_fused(
             const((k, inner)), const((1, inner)), const((1, inner)),
             const((inner, dim)), const((1, dim)),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile, dim), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, chunk, tile, dim),
+                               lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -34,35 +34,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    y_ref,       # [1, tile + 2d, C] conv input rows (with halo; zero padding rows)
-    condp_ref,   # [tile, 2C] conditioner projection (padded layout)
+    y_ref,       # [chunk, tile + 2d, C] conv input rows (halo; zero pad rows)
+    condp_ref,   # [chunk * tile, 2C] conditioner projection (padded layout)
     w0_ref, w1_ref, w2_ref,  # [C, 2C] dilated-conv taps (t-d, t, t+d)
     b_conv_ref,  # [1, 2C]
     wo_ref,      # [C, 2C] output projection
     bo_ref,      # [1, 2C]
-    o_ref,       # [tile, 2C] = [residual | skip]
+    o_ref,       # [chunk * tile, 2C] = [residual | skip]
     *,
     d: int,
     tile: int,
+    chunk: int,
 ):
-    y = y_ref[0]
-    C = y.shape[-1]
-    # dilated conv as shifted-slice matmuls, f32 accumulation on the MXU
-    z = jnp.dot(y[0:tile], w0_ref[...], preferred_element_type=jnp.float32)
-    z += jnp.dot(y[d : d + tile], w1_ref[...], preferred_element_type=jnp.float32)
-    z += jnp.dot(y[2 * d : 2 * d + tile], w2_ref[...],
-                 preferred_element_type=jnp.float32)
-    z += b_conv_ref[...] + condp_ref[...].astype(jnp.float32)
+    # ``chunk`` sub-tiles per program are independent value chains, so the
+    # scheduler hides each sub-tile's gating (VPU) under the next sub-tile's
+    # conv matmuls (tools/overlap_probe2.py: near-total overlap)
+    for c in range(chunk):
+        y = y_ref[c]
+        C = y.shape[-1]
+        # dilated conv as shifted-slice matmuls, f32 accumulation on the MXU
+        z = jnp.dot(y[0:tile], w0_ref[...], preferred_element_type=jnp.float32)
+        z += jnp.dot(y[d : d + tile], w1_ref[...],
+                     preferred_element_type=jnp.float32)
+        z += jnp.dot(y[2 * d : 2 * d + tile], w2_ref[...],
+                     preferred_element_type=jnp.float32)
+        z += b_conv_ref[...] + condp_ref[
+            c * tile : (c + 1) * tile
+        ].astype(jnp.float32)
 
-    gate, filt = z[:, :C], z[:, C:]
-    g = (jax.nn.sigmoid(gate) * jnp.tanh(filt)).astype(y.dtype)
+        gate, filt = z[:, :C], z[:, C:]
+        g = (jax.nn.sigmoid(gate) * jnp.tanh(filt)).astype(y.dtype)
 
-    out = jnp.dot(g, wo_ref[...], preferred_element_type=jnp.float32)
-    o_ref[...] = (out + bo_ref[...]).astype(o_ref.dtype)
+        out = jnp.dot(g, wo_ref[...], preferred_element_type=jnp.float32)
+        o_ref[c * tile : (c + 1) * tile] = (out + bo_ref[...]).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilation", "tile", "interpret")
+    jax.jit, static_argnames=("dilation", "tile", "chunk", "interpret")
 )
 def wavenet_block(
     y: jnp.ndarray,        # [B, T, C] conv input (x + step bias already added)
@@ -73,6 +81,7 @@ def wavenet_block(
     out_bias: jnp.ndarray,     # [2C]
     dilation: int = 1,
     tile: int = 256,
+    chunk: int = 1,
     interpret: bool = False,
 ):
     """Returns (residual_delta [B, T, C], skip [B, T, C]) — the raw output
@@ -86,18 +95,24 @@ def wavenet_block(
     # window rows carry the d-row halo; conv output t lands at logical row t,
     # so cond_proj / the output slice align at offset 0
     y_windows, period, total_rows, n_tiles = flatten_batch_windows(y, d, d, tile)
+    n_tiles = ((n_tiles + chunk - 1) // chunk) * chunk
+    if y_windows.shape[0] < n_tiles:  # pad window blocks to chunk multiple
+        y_windows = jnp.pad(
+            y_windows,
+            ((0, n_tiles - y_windows.shape[0]), (0, 0), (0, 0)),
+        )
     total = n_tiles * tile
     cp = jnp.pad(cond_proj, ((0, 0), (0, 2 * d), (0, 0))).reshape(B * period, 2 * C)
-    cp = jnp.pad(cp, ((0, total - total_rows), (0, 0)))
+    cp = jnp.pad(cp, ((0, total - cp.shape[0]), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, d=d, tile=tile),
+        functools.partial(_kernel, d=d, tile=tile, chunk=chunk),
         out_shape=jax.ShapeDtypeStruct((total, 2 * C), y.dtype),
-        grid=(n_tiles,),
+        grid=(n_tiles // chunk,),
         in_specs=[
-            pl.BlockSpec((1, tile + 2 * d, C), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, tile + 2 * d, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2 * C), lambda i: (i, 0),
+            pl.BlockSpec((chunk * tile, 2 * C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 2 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 2 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -106,7 +121,7 @@ def wavenet_block(
             pl.BlockSpec((C, 2 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 2 * C), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((chunk * tile, 2 * C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
