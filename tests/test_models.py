@@ -259,3 +259,18 @@ def test_discrete_f0_embed_parity():
     assert params["params"]["pitch_embed"]["embedding"].shape == (256, H)
     cond = model.apply(params, tokens, mel2ph, jnp.asarray(f0_np))
     assert np.isfinite(np.asarray(cond)).all()
+
+
+def test_vocoder_registry_reference_semantics():
+    """Reference registry semantics (ref modules/vocoders/registry.py:8-21):
+    class-name AND lowercase keys, dotted-path fallback, clean error."""
+    import pytest
+
+    from xiaoicesing_io_tpu.models.vocoders import get_vocoder_cls
+    import xiaoicesing_io_tpu.models.vocoders.wrapper  # noqa: F401  (registers)
+
+    assert get_vocoder_cls("NsfHifiGAN") is get_vocoder_cls("nsfhifigan")
+    cls = get_vocoder_cls("xiaoicesing_io_tpu.models.vocoders.wrapper.NsfHifiGAN")
+    assert cls is get_vocoder_cls("NsfHifiGAN")
+    with pytest.raises(KeyError, match="unknown vocoder"):
+        get_vocoder_cls("nsf_hifigan")

@@ -179,10 +179,9 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                 x_src = None
 
             backbone_type = cfg.get("backbone_type")
-            # wavenet defaults to XLA: the fused block kernel measured at
-            # parity (7.70 vs 7.67 ms/step at C=512 L=20, B=4xT=2048 — the
-            # [*,512]x[512,1024] matmuls are MXU-bound and XLA fuses the
-            # gating already; see docs/PerformanceNotes.md), so it is opt-in
+            # wavenet kernel default-on: measured 8.07 vs XLA 10.67 ms/step
+            # (24% win) at C=512 L=20, B=4xT=2048 on v5e (round-2 sweep,
+            # docs/PerformanceNotes.md); `wavenet_use_pallas: false` opts out.
             # Mosaic needs lane-aligned channel dims; tiny (test-scale) models
             # fall back to the XLA path
             _nc = cfg.get("backbone_args", {}).get("num_channels", 1024)
@@ -192,7 +191,7 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                     (backbone_type == "lynxnet"
                      and cfg.get("backbone_args", {}).get("activation", "PReLU") == "PReLU")
                     or (backbone_type == "wavenet"
-                        and cfg.get("wavenet_use_pallas", False))
+                        and cfg.get("wavenet_use_pallas", True))
                 )
                 and _nc >= 128 and _nc % 128 == 0
                 and jax.default_backend() != "cpu"  # pallas needs TPU (or interpret)
