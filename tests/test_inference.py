@@ -106,6 +106,7 @@ def test_checkpoint_retention(tmp_path):
         mgr_bad.restore_latest(state)
 
 
+@pytest.mark.slow
 def test_preprocess_entire_sample_corpus(tmp_path):
     """Every segment of every acoustic-ready sample .ds must preprocess:
     exercises dynamic gender/velocity curves, energy/breathiness curves and

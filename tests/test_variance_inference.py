@@ -140,6 +140,7 @@ def test_variance_run_inference_roundtrip(infer, sample_segment, tmp_path):
     assert len(seg["energy"].split()) == len(seg["breathiness"].split())
 
 
+@pytest.mark.slow
 def test_variance_preprocess_entire_corpus(infer):
     """Every segment of every sample .ds parses through variance
     preprocessing (notes, slurs, ph_num word grouping, rest interpolation),
