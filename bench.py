@@ -5,13 +5,18 @@ K=50 scan-fused sampler steps (Pallas-fused LYNX denoiser) + time-folded
 NSF-HiFiGAN vocoding to 44.1 kHz waveform — and reports audio-seconds
 synthesized per wall-second per chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+The FINAL line printed is the headline JSON:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 ``vs_baseline`` is the real-time factor (the reference publishes no numbers —
-BASELINE.md — so 1x realtime is the anchor).
+BASELINE.md — so 1x realtime is the anchor). Diagnostic JSON lines (the
+XLA-vs-Pallas WaveNet margin check, per VERDICT r2 task 5) are printed
+BEFORE the headline so the driver's last-JSON-line parse still sees the
+headline.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 from pathlib import Path
@@ -27,6 +32,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 
+# Defaults chosen by the round-3 shape sweep (docs/PerformanceNotes.md):
+# audio-s/s/chip is a throughput metric, and the K=50 sampler runs at <50%
+# MFU at B=4 — larger batches amortize better.
 B = 4
 T_F = 2048  # frames per segment (~23.8 s audio at hop 512 / 44.1 kHz)
 K = 50  # denoiser steps
@@ -34,7 +42,65 @@ VOCAB = 62
 USE_PALLAS = True
 
 
-def main():
+def _time_enqueued(fn, iters=20, warmup=1):
+    """Axon-safe timing: enqueue ``iters`` calls, one host fetch at the end.
+
+    block_until_ready does not synchronize through the axon tunnel; a host
+    fetch of one scalar is the only reliable sync point.
+    """
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+    return (time.perf_counter() - start) / iters
+
+
+def wavenet_margin_check(B, T_F):
+    """Time BOTH the XLA and Pallas WaveNet denoiser steps (both bf16).
+
+    Emits one diagnostic JSON line so BENCH_r*.json tracks the margin across
+    sessions; if it inverts, the wavenet_use_pallas default is wrong
+    (VERDICT r2 task 5 / ADVICE r2: the XLA baseline must be built at
+    bf16 to match the Pallas kernel's compute dtype).
+    """
+    import functools
+
+    from xiaoicesing_io_tpu.models.backbones import build_backbone
+    from xiaoicesing_io_tpu.models.backbones.wavenet_pallas import (
+        wavenet_denoiser_apply,
+    )
+
+    M, H, C, L = 128, 256, 512, 20
+    bb = build_backbone(
+        M, 1, "wavenet",
+        {"num_layers": L, "num_channels": C, "dilation_cycle_length": 4},
+        cond_dims=H, dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.standard_normal((B, 1, T_F, M)).astype(np.float32))
+    step = jnp.full((B,), 123.0)
+    cond = jnp.asarray(rng.standard_normal((B, T_F, H)).astype(np.float32))
+    params = bb.init(jax.random.PRNGKey(0), spec, step, cond)
+
+    xla = jax.jit(lambda p, s, t, c: bb.apply(p, s, t, c))
+    t_xla = _time_enqueued(lambda: xla(params, spec, step, cond), iters=20)
+    pallas = jax.jit(functools.partial(
+        wavenet_denoiser_apply, num_layers=L, dilation_cycle_length=4))
+    t_pal = _time_enqueued(lambda: pallas(params, spec, step, cond), iters=20)
+    print(json.dumps({
+        "metric": "wavenet_step_ms_bf16",
+        "xla": round(t_xla * 1000, 2),
+        "pallas": round(t_pal * 1000, 2),
+        "pallas_wins": bool(t_pal < t_xla),
+        "shape": f"B={B} T={T_F} C=512 L=20",
+    }), flush=True)
+
+
+def main(B=B, T_F=T_F, K=K, wavenet_check=True):
     from xiaoicesing_io_tpu.config import load_config
     from xiaoicesing_io_tpu.models.toplevel import AcousticModel
     from xiaoicesing_io_tpu.training.acoustic import build_acoustic
@@ -135,6 +201,14 @@ def main():
     np.asarray(wav.ravel()[:1])
     elapsed = (time.perf_counter() - start) / iters
 
+    if wavenet_check:
+        # margin diagnostic FIRST so the headline stays the last JSON line
+        try:
+            wavenet_margin_check(4, 2048)
+        except Exception as e:  # noqa: BLE001 - diagnostic must not kill the bench
+            print(json.dumps({"metric": "wavenet_step_ms_bf16", "error": str(e)}),
+                  flush=True)
+
     audio_seconds = B * T_F * cfg["hop_size"] / cfg["audio_sample_rate"]
     throughput = audio_seconds / elapsed
     print(
@@ -142,12 +216,19 @@ def main():
             {
                 "metric": "audio_seconds_synthesized_per_s_per_chip",
                 "value": round(throughput, 2),
-                "unit": "audio_s/s/chip (full wav: K=50 reflow + NSF-HiFiGAN, bf16)",
+                "unit": f"audio_s/s/chip (full wav: B={B} T={T_F} K={K} reflow + NSF-HiFiGAN, bf16)",
                 "vs_baseline": round(throughput, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=B)
+    ap.add_argument("--t", type=int, default=T_F)
+    ap.add_argument("--k", type=int, default=K)
+    ap.add_argument("--no-wavenet-check", action="store_true")
+    args = ap.parse_args()
+    main(B=args.b, T_F=args.t, K=args.k, wavenet_check=not args.no_wavenet_check)

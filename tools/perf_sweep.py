@@ -203,9 +203,12 @@ def sweep_wavenet():
     )
 
     M, H, C, L = 128, 256, 512, 20
+    # dtype MUST be bf16 to match the Pallas kernel's compute_dtype — an
+    # fp32 XLA baseline is not apples-to-apples (ADVICE r2)
     bb = build_backbone(M, 1, "wavenet",
                         {"num_layers": L, "num_channels": C,
-                         "dilation_cycle_length": 4}, cond_dims=H)
+                         "dilation_cycle_length": 4}, cond_dims=H,
+                        dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     spec = jnp.asarray(rng.standard_normal((B, 1, T_F, M)).astype(np.float32))
     step = jnp.full((B,), 123.0)

@@ -179,9 +179,12 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                 x_src = None
 
             backbone_type = cfg.get("backbone_type")
-            # wavenet kernel default-on: measured 8.07 vs XLA 10.67 ms/step
-            # (24% win) at C=512 L=20, B=4xT=2048 on v5e (round-2 sweep,
-            # docs/PerformanceNotes.md); `wavenet_use_pallas: false` opts out.
+            # wavenet kernel default-on; `wavenet_use_pallas: false` opts out
+            # and runs the denoiser through the model's own dtype (fp32 unless
+            # built otherwise). NOTE: the Pallas kernel computes in bf16 —
+            # flipping the default also selects bf16 denoiser compute. The
+            # margin vs a bf16 XLA baseline is re-verified in every bench run
+            # (bench.py wavenet_margin_check; docs/PerformanceNotes.md).
             # Mosaic needs lane-aligned channel dims; tiny (test-scale) models
             # fall back to the XLA path
             _nc = cfg.get("backbone_args", {}).get("num_channels", 1024)
