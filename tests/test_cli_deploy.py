@@ -450,6 +450,28 @@ def test_export_acoustic_onnx(tiny_ckpt, tmp_path):
     ref = np.asarray(exported.call(*feeds.values()))
     np.testing.assert_allclose(y[out_name], ref, atol=2e-4)
 
+    # the merged loop-bearing artifact (ref: acoustic_exporter.py:363-390):
+    # ONE acoustic.onnx driven by depth/steps, fs2 inputs -> mel
+    import yaml
+
+    manifest = yaml.safe_load((out / "dsconfig.yaml").read_text())
+    assert manifest["acoustic_merged"] == "acoustic.onnx"
+    assert manifest["acoustic_merged_inputs"][-2:] == ["depth", "steps"]
+    mdata = (out / "acoustic.onnx").read_bytes()
+    mgraph, _ = parse_model(mdata)
+    assert any(n.op_type == "Loop" for n in mgraph.nodes)
+    mfeeds = {
+        "tokens": rng.integers(1, 8, (B, 64)).astype(np.int32),
+        "mel2ph": np.clip(np.sort(rng.integers(1, 65, (B, T_f))), 1, 64).astype(np.int32),
+        "f0": rng.uniform(100, 400, (B, T_f)).astype(np.float32),
+        "spk_mix_embed": rng.standard_normal((B, 1, H)).astype(np.float32),
+        "depth": np.asarray(0.6, np.float32),
+        "steps": np.asarray(2, np.int64),
+    }
+    got = run_model_bytes(mdata, mfeeds)
+    assert got["mel"].shape == (B, T_f, M)
+    assert np.isfinite(got["mel"]).all()
+
 
 def test_export_variance_onnx(tmp_path):
     """variance partial graphs and the NSF-HiFiGAN generator export as ONNX

@@ -207,3 +207,136 @@ def test_real_vocoder_graph(rng):
     ref = np.asarray(voc(jnp.asarray(mel), jnp.asarray(f0)))
     assert out.shape == ref.shape == (1, 16 * 64)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# loop-bearing merged graphs (ref: deployment/modules/diffusion.py:18-161,
+# rectified_flow.py:37-69, acoustic_exporter.py:363-390)
+# ---------------------------------------------------------------------------
+
+def _merged_acoustic(model, params, core, normalizer, cfg, shape):
+    """Build the merged fs2+loop graph exactly as the exporter wires it."""
+    from xiaoicesing_io_tpu.deployment.onnx_export import trace_to_graph
+    from xiaoicesing_io_tpu.deployment.onnx_loop import (
+        build_ddpm_graph, build_reflow_graph, merge_graphs,
+    )
+    from xiaoicesing_io_tpu.deployment.onnx_proto import build_model
+    from xiaoicesing_io_tpu.models.diffusion.core import GaussianDiffusion
+    from xiaoicesing_io_tpu.models.toplevel import AcousticModel
+
+    B, _, T_f, M = shape
+    H = cfg["hidden_size"]
+    tokens = np.ones((B, 8), np.int32)
+    mel2ph = np.ones((B, T_f), np.int32)
+    f0 = np.full((B, T_f), 220.0, np.float32)
+
+    def fs2_aux(tokens, mel2ph, f0):
+        c = model.apply(params, tokens, mel2ph, f0,
+                        method=AcousticModel.condition)
+        return c, model.apply(params, c, method=AcousticModel.aux_out)
+
+    def den(x, t, c):
+        return model.apply(params, x, t, c, method=AcousticModel.denoise)
+
+    fs2_g = trace_to_graph(
+        fs2_aux, (tokens, mel2ph, f0), input_names=["tokens", "mel2ph", "f0"],
+        output_names=["condition", "aux_mel"], graph_name="fs2_aux",
+        prefix="fs2.",
+    )
+    smin = np.asarray(normalizer.spec_min)[:, 0]
+    smax = np.asarray(normalizer.spec_max)[:, 0]
+    if isinstance(core, GaussianDiffusion):
+        dg = build_ddpm_graph(
+            den, shape, (B, T_f, H), spec_min=smin, spec_max=smax,
+            alphas_cumprod=core.schedule.alphas_cumprod,
+            timesteps=core.timesteps, k_step=core.k_step, shallow=True,
+        )
+    else:
+        dg = build_reflow_graph(
+            den, shape, (B, T_f, H), spec_min=smin, spec_max=smax,
+            t_start_cfg=core.t_start,
+            time_scale_factor=core.time_scale_factor, shallow=True,
+        )
+    merged = merge_graphs(
+        fs2_g, dg, [("condition", "condition"), ("aux_mel", "x_aux")],
+        "acoustic",
+    )
+    return build_model(merged), den, fs2_aux, (tokens, mel2ph, f0)
+
+
+def test_merged_reflow_loop_matches_jax_pipeline(tiny_acoustic):
+    """ONE acoustic.onnx with an embedded Euler Loop == the JAX sampler at
+    K=10, depth=0.6, with the executor's noise draw replicated on the JAX
+    side (ref parity: deployment/modules/rectified_flow.py:37-69)."""
+    from xiaoicesing_io_tpu.deployment.onnx_proto import parse_model
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_graph
+
+    cfg, model, params, (tokens_, mel2ph_, f0_, M) = tiny_acoustic
+    from xiaoicesing_io_tpu.training.acoustic import build_acoustic
+
+    _, core, normalizer = build_acoustic(cfg, 12)
+    B, T_f = 1, 64
+    shape = (B, 1, T_f, M)
+    data, den, fs2_aux, (tokens, mel2ph, f0) = _merged_acoustic(
+        model, params, core, normalizer, cfg, shape)
+    graph, _ = parse_model(data)
+    assert any(n.op_type == "Loop" for n in graph.nodes)
+
+    K, depth, seed = 10, 0.6, 7
+    out = run_graph(
+        graph,
+        {"tokens": tokens, "mel2ph": mel2ph, "f0": f0,
+         "depth": np.asarray(depth, np.float32),
+         "steps": np.asarray(K, np.int64)},
+        rng=np.random.default_rng(seed),
+    )["mel"]
+
+    noise = np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+    c, aux = fs2_aux(tokens, mel2ph, f0)
+    t0 = max(1.0 - depth, core.t_start)
+    x = core.inference(
+        lambda x, t: den(x, t, jnp.asarray(c)), jax.random.PRNGKey(0), shape,
+        x_end=jnp.asarray(aux)[:, None], t_start=t0, steps=K,
+        algorithm="euler", noise=jnp.asarray(noise),
+    )
+    ref = np.asarray(normalizer.denorm(x))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_merged_ddpm_loop_matches_jax_pipeline(tiny_acoustic):
+    """DDPM/DDIM variant: runtime depth/steps arithmetic (round, speedup,
+    shallow q_sample gather) inside the graph matches the JAX sampler
+    (ref parity: deployment/modules/diffusion.py:55-66,107-161)."""
+    from xiaoicesing_io_tpu.deployment.onnx_proto import parse_model
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_graph
+    from xiaoicesing_io_tpu.training.acoustic import build_acoustic
+
+    cfg, model, params, (_, _, _, M) = tiny_acoustic
+    cfg2 = type(cfg)(dict(cfg))
+    cfg2.update(diffusion_type="ddpm", timesteps=20, K_step=20)
+    _, core, normalizer = build_acoustic(cfg2, 12)
+    B, T_f = 1, 64
+    shape = (B, 1, T_f, M)
+    data, den, fs2_aux, (tokens, mel2ph, f0) = _merged_acoustic(
+        model, params, core, normalizer, cfg2, shape)
+    graph, _ = parse_model(data)
+
+    # depth=0.6 -> depth_t=12; steps=3 -> speedup=4, ts = [8, 4, 0]
+    K, depth, seed = 3, 0.6, 11
+    out = run_graph(
+        graph,
+        {"tokens": tokens, "mel2ph": mel2ph, "f0": f0,
+         "depth": np.asarray(depth, np.float32),
+         "steps": np.asarray(K, np.int64)},
+        rng=np.random.default_rng(seed),
+    )["mel"]
+
+    noise = np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+    c, aux = fs2_aux(tokens, mel2ph, f0)
+    x = core.inference(
+        lambda x, t: den(x, t, jnp.asarray(c)), jax.random.PRNGKey(0), shape,
+        x_start=jnp.asarray(aux)[:, None], depth=12, speedup=4,
+        algorithm="ddim", noise=jnp.asarray(noise),
+    )
+    ref = np.asarray(normalizer.denorm(x))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)

@@ -179,6 +179,53 @@ def _export_spk_attachments(cfg, params, out: Path, export_spk):
         print(f"| export speaker mix embed: {key}.emb")
 
 
+def _export_merged_acoustic(cfg, model, core, normalizer, params, fs2_aux,
+                            inputs, names, denoiser, B, T_f, M, out: Path) -> str:
+    """ONE loop-bearing ``acoustic.onnx``: fs2+aux merged with a diffusion
+    graph that embeds the full sampling loop behind runtime ``depth`` /
+    ``steps`` inputs (ref: deployment/modules/diffusion.py:18-161 +
+    acoustic_exporter.py:363-390, which OpenUTAU consumes)."""
+    from ..models.diffusion.core import GaussianDiffusion
+    from .onnx_export import trace_to_graph
+    from .onnx_loop import build_ddpm_graph, build_reflow_graph, merge_graphs
+    from .onnx_proto import build_model
+
+    has_aux = model.aux_decoder is not None
+    shallow = has_aux and cfg.get("use_shallow_diffusion", False)
+    H = cfg.get("hidden_size", 256)
+    out_names = ["condition", "aux_mel"] if has_aux else ["condition"]
+    fs2_graph = trace_to_graph(
+        fs2_aux, tuple(np.asarray(a) for a in inputs.values()),
+        input_names=names, output_names=out_names,
+        graph_name="fs2_aux", prefix="fs2.",
+    )
+    spec_min = np.asarray(normalizer.spec_min)[:, 0]  # [1, 1, Mm]
+    spec_max = np.asarray(normalizer.spec_max)[:, 0]
+    if isinstance(core, GaussianDiffusion):
+        diff_graph = build_ddpm_graph(
+            denoiser, (B, 1, T_f, M), (B, T_f, H),
+            spec_min=spec_min, spec_max=spec_max,
+            alphas_cumprod=core.schedule.alphas_cumprod,
+            timesteps=core.timesteps, k_step=core.k_step, shallow=shallow,
+        )
+    else:
+        diff_graph = build_reflow_graph(
+            denoiser, (B, 1, T_f, M), (B, T_f, H),
+            spec_min=spec_min, spec_max=spec_max,
+            t_start_cfg=core.t_start, time_scale_factor=core.time_scale_factor,
+            shallow=shallow,
+        )
+    io_map = [("condition", "condition")]
+    if shallow:
+        io_map.append(("aux_mel", "x_aux"))
+    merged = merge_graphs(fs2_graph, diff_graph, io_map, "acoustic")
+    data = build_model(merged)
+    path = out / "acoustic.onnx"
+    path.write_bytes(data)
+    print(f"| export merged graph: {path} ({len(data) / 1e6:.2f} MB)")
+    return "acoustic.onnx"
+
+
 def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
                     fmt: str = "stablehlo", freeze_gender: Optional[float] = None,
                     freeze_velocity: Optional[float] = None,
@@ -267,6 +314,13 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
 
     _export_fn(denoiser, (x, t, cond), out, "diffusion_step", fmt)
 
+    merged_name = None
+    if fmt == "onnx":
+        merged_name = _export_merged_acoustic(
+            cfg, model, core, normalizer, params, fs2_aux, inputs, names,
+            denoiser, B, T_f, M, out,
+        )
+
     manifest = {
         "model_type": "acoustic",
         "diffusion_type": cfg.get("diffusion_type", "ddpm"),
@@ -289,6 +343,11 @@ def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         "speakers": _speaker_names(cfg, export_spk),
         "sampling": _sampling_block(cfg),
     }
+    if merged_name:
+        # the single loop-bearing artifact an OpenUTAU-style consumer drives
+        # directly with depth/steps (ref: acoustic_exporter.py:363-390)
+        manifest["acoustic_merged"] = merged_name
+        manifest["acoustic_merged_inputs"] = names + ["depth", "steps"]
     _write_attachments(cfg, out, encoder, params)
     with open(out / "dsconfig.yaml", "w") as f:
         yaml.safe_dump(manifest, f, sort_keys=False)

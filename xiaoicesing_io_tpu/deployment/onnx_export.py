@@ -39,19 +39,22 @@ from .onnx_proto import (
 
 
 class _Converter:
-    def __init__(self, graph_name: str):
+    def __init__(self, graph_name: str, prefix: str = ""):
         self.nodes: List[Node] = []
         self.initializers: Dict[str, Tensor] = {}
         self.consts: Dict[str, np.ndarray] = {}   # var name -> known value
         self.names: Dict[int, str] = {}           # id(var) -> name
         self.counter = 0
         self.graph_name = graph_name
+        # namespace prefix so graphs built by separate converters can be
+        # merged (or nested as Loop bodies) without name collisions
+        self.prefix = prefix
 
     # -- naming ---------------------------------------------------------------
 
     def fresh(self, hint: str = "t") -> str:
         self.counter += 1
-        return f"{hint}_{self.counter}"
+        return f"{self.prefix}{hint}_{self.counter}"
 
     def var_name(self, v) -> str:
         if isinstance(v, jcore.Literal):
@@ -599,25 +602,25 @@ def _convert_jaxpr(cv: _Converter, jaxpr, consts):
         _EMITTERS[prim](cv, eqn, ins, outs)
 
 
-def export_onnx(
+def trace_to_graph(
     fn,
     example_args: Sequence[np.ndarray],
-    path,
     *,
     input_names: Optional[Sequence[str]] = None,
     output_names: Optional[Sequence[str]] = None,
     graph_name: str = "graph",
-    opset: int = 17,
-) -> bytes:
-    """Trace ``fn(*example_args)`` and write an ONNX model to ``path``.
+    prefix: str = "",
+) -> Graph:
+    """Trace ``fn(*example_args)`` into an ONNX :class:`Graph`.
 
-    Shapes are taken from the example args (static graphs, like the
-    reference's fixed-axis exports with dynamic batch disabled).
-    Returns the serialized model bytes.
+    Internal value names carry ``prefix`` so graphs from separate traces can
+    be merged (``merge_graphs``) or embedded as Loop bodies
+    (``onnx_loop.py``) without collisions; graph input/output names are the
+    caller's verbatim.
     """
     closed = jax.make_jaxpr(fn)(*example_args)
     jaxpr = closed.jaxpr
-    cv = _Converter(graph_name)
+    cv = _Converter(graph_name, prefix=prefix)
 
     if input_names is None:
         input_names = [f"in{i}" for i in range(len(jaxpr.invars))]
@@ -653,9 +656,31 @@ def export_onnx(
     for src, name in out_map:
         cv.node("Identity", [src], [name])
 
-    g = Graph(
+    return Graph(
         graph_name, cv.nodes, graph_inputs, graph_outputs,
         list(cv.initializers.values()),
+    )
+
+
+def export_onnx(
+    fn,
+    example_args: Sequence[np.ndarray],
+    path,
+    *,
+    input_names: Optional[Sequence[str]] = None,
+    output_names: Optional[Sequence[str]] = None,
+    graph_name: str = "graph",
+    opset: int = 17,
+) -> bytes:
+    """Trace ``fn(*example_args)`` and write an ONNX model to ``path``.
+
+    Shapes are taken from the example args (static graphs, like the
+    reference's fixed-axis exports with dynamic batch disabled).
+    Returns the serialized model bytes.
+    """
+    g = trace_to_graph(
+        fn, example_args, input_names=input_names, output_names=output_names,
+        graph_name=graph_name,
     )
     data = build_model(g, opset=opset)
     if path is not None:

@@ -10,7 +10,7 @@ serving runtime.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -40,8 +40,19 @@ def _conv1d(x, w, pads, strides, dilations, group):
     return out
 
 
-def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    env: Dict[str, np.ndarray] = {}
+def run_graph(graph: Graph, feeds: Dict[str, np.ndarray],
+              outer: Optional[Dict[str, np.ndarray]] = None,
+              rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+    """Execute ``graph``.
+
+    ``outer`` provides outer-scope values for subgraphs (ONNX Loop/If bodies
+    may reference enclosing-graph names). ``rng`` seeds RandomNormal* ops so
+    artifact verification is reproducible (stock runtimes draw fresh noise;
+    parity tests replicate the executor's draws on the JAX side).
+    """
+    env: Dict[str, np.ndarray] = dict(outer) if outer else {}
+    if rng is None:
+        rng = np.random.default_rng(0)
     for t in graph.initializers:
         env[t.name] = t.array
     for name, _, _ in graph.inputs:
@@ -182,6 +193,45 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
             else:
                 data[coords] = upd
             r = data
+        elif op == "Round":
+            # ONNX Round = round-half-to-even, which is numpy's np.round
+            r = np.round(i[0])
+        elif op == "Clip":
+            lo = i[1] if len(i) > 1 else None
+            hi = i[2] if len(i) > 2 else None
+            r = np.clip(i[0], lo, hi)
+        elif op == "RandomNormalLike":
+            dt = ONNX_TO_NP[a["dtype"]] if "dtype" in a else i[0].dtype
+            r = (a.get("mean", 0.0)
+                 + a.get("scale", 1.0) * rng.standard_normal(i[0].shape)).astype(dt)
+        elif op == "RandomNormal":
+            dt = ONNX_TO_NP[a.get("dtype", 1)]
+            shape = [int(d) for d in a["shape"]]
+            r = (a.get("mean", 0.0)
+                 + a.get("scale", 1.0) * rng.standard_normal(shape)).astype(dt)
+        elif op == "Loop":
+            trip = (int(np.asarray(i[0]).reshape(()).item())
+                    if node.inputs[0] else np.iinfo(np.int64).max)
+            cond = bool(np.asarray(i[1]).item()) if len(node.inputs) > 1 and node.inputs[1] else True
+            body: Graph = a["body"]
+            n_carried = len(node.inputs) - 2
+            carried = list(i[2:2 + n_carried])
+            n_scan = len(body.outputs) - 1 - n_carried
+            scans = [[] for _ in range(n_scan)]
+            it = 0
+            while it < trip and cond:
+                bfeeds = {body.inputs[0][0]: np.asarray(it, np.int64),
+                          body.inputs[1][0]: np.asarray(cond)}
+                for (bname, _, _), val in zip(body.inputs[2:], carried):
+                    bfeeds[bname] = val
+                bout = run_graph(body, bfeeds, outer=env, rng=rng)
+                outs = [bout[bn] for bn, _, _ in body.outputs]
+                cond = bool(np.asarray(outs[0]).item())
+                carried = outs[1:1 + n_carried]
+                for j in range(n_scan):
+                    scans[j].append(outs[1 + n_carried + j])
+                it += 1
+            r = carried + [np.stack(s) for s in scans]
         elif op == "Conv":
             pads = [int(x) for x in a.get("pads", [0, 0])]
             r = _conv1d(
