@@ -530,3 +530,30 @@ def test_export_variance_onnx(tmp_path):
     assert all(np.isfinite(v).all() for v in y.values())
     # (the NSF-HiFiGAN generator's ONNX export is covered by
     # tests/test_onnx_export.py::test_real_vocoder_graph)
+
+    # the merged loop-bearing predictor artifacts: pre-conditioning +
+    # sampler Loop + repeat-bin denorm/clamp in ONE graph each
+    for gname, outs in (("pitch_merged", ["pitd"]),
+                        ("variance_merged", ["energy", "breathiness"])):
+        data = (out / manifest["graphs"][gname]).read_bytes()
+        graph, _ = parse_model(data)
+        assert any(n.op_type == "Loop" for n in graph.nodes), gname
+        feeds = {}
+        for name, et, shape in graph.inputs:
+            if name == "depth":
+                feeds[name] = np.asarray(1.0, np.float32)
+            elif name == "steps":
+                feeds[name] = np.asarray(2, np.int64)
+            elif et == 7:
+                feeds[name] = rng.integers(1, 4, shape).astype(np.int64)
+            elif et == 6:
+                feeds[name] = np.clip(np.sort(
+                    rng.integers(1, 5, shape)), 1, None).astype(np.int32)
+            elif et == 9:
+                feeds[name] = np.zeros(shape, bool)
+            else:
+                feeds[name] = rng.standard_normal(shape).astype(np.float32)
+        got = run_model_bytes(data, feeds)
+        for o in outs:
+            assert got[o].shape == (1, 512), (gname, o)
+            assert np.isfinite(got[o]).all()

@@ -340,3 +340,56 @@ def test_merged_ddpm_loop_matches_jax_pipeline(tiny_acoustic):
     )
     ref = np.asarray(normalizer.denorm(x))
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_curves_loop_post_matches_normalizer(rng):
+    """post='curves': in-graph repeat-bin denorm + mean + clamp equals
+    SpecNormalizer.denorm after the same sampling loop (the variance-family
+    merged artifacts' post; ref ddpm.py:386-505)."""
+    from xiaoicesing_io_tpu.deployment.onnx_loop import build_ddpm_graph
+    from xiaoicesing_io_tpu.deployment.onnx_proto import build_model, parse_model
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_graph
+    from xiaoicesing_io_tpu.models.diffusion.core import (
+        GaussianDiffusion, SpecNormalizer,
+    )
+    from xiaoicesing_io_tpu.models.diffusion.schedule import DiffusionSchedule
+
+    B, F, T, R, H = 1, 2, 16, 4, 8
+    W1 = rng.standard_normal((H, F * R)).astype(np.float32) * 0.1
+    W2 = rng.standard_normal((1, F, 1, R)).astype(np.float32) * 0.1
+
+    def den(x, t, c):
+        # tiny but t- and cond-dependent denoiser
+        u = jnp.tanh(c @ W1).reshape(B, T, F, R).transpose(0, 2, 1, 3)
+        return x * 0.1 + u + t.reshape(-1, 1, 1, 1) * 0.01 * W2
+
+    schedule = DiffusionSchedule.create("linear", 20)
+    core = GaussianDiffusion(schedule=schedule, timesteps=20, k_step=20)
+    norm = SpecNormalizer(
+        spec_min=[-8.0, -96.0], spec_max=[8.0, -12.0], num_feats=F,
+        repeat_bins=R, clamps=[(-12.0, 12.0), (-96.0, 0.0)],
+    )
+    g = build_ddpm_graph(
+        den, (B, F, T, R), (B, T, H),
+        spec_min=np.asarray(norm.spec_min), spec_max=np.asarray(norm.spec_max),
+        alphas_cumprod=schedule.alphas_cumprod, timesteps=20, k_step=20,
+        shallow=False, post="curves", clamps=norm.clamps,
+        out_names=("pitd", "energy"),
+    )
+    graph, _ = parse_model(build_model(g))
+    cond = rng.standard_normal((B, T, H)).astype(np.float32)
+    out = run_graph(
+        graph,
+        {"condition": cond, "depth": np.asarray(1.0, np.float32),
+         "steps": np.asarray(5, np.int64)},
+        rng=np.random.default_rng(3),
+    )
+    noise = np.random.default_rng(3).standard_normal((B, F, T, R)).astype(np.float32)
+    x = core.inference(
+        lambda x, t: den(x, t, jnp.asarray(cond)), jax.random.PRNGKey(0),
+        (B, F, T, R), depth=20, speedup=4, algorithm="ddim",
+        noise=jnp.asarray(noise),
+    )
+    curves = norm.denorm(x)
+    np.testing.assert_allclose(out["pitd"], np.asarray(curves[0]), atol=1e-4)
+    np.testing.assert_allclose(out["energy"], np.asarray(curves[1]), atol=1e-4)

@@ -226,6 +226,48 @@ def _export_merged_acoustic(cfg, model, core, normalizer, params, fs2_aux,
     return "acoustic.onnx"
 
 
+def _export_merged_predictor(core, out: Path, *, name, pre_fn, pre_args,
+                             pre_names, den_fn, shape, cond_shape,
+                             normalizer, out_names) -> str:
+    """ONE loop-bearing ``<name>.onnx`` for a variance-family predictor:
+    pre-conditioning graph merged with a sampler-loop graph whose repeat-bin
+    denorm/mean/clamp post runs in-graph (ref:
+    deployment/modules/diffusion.py:164-231 Pitch/MultiVariance ONNX)."""
+    from ..models.diffusion.core import GaussianDiffusion
+    from .onnx_export import trace_to_graph
+    from .onnx_loop import build_ddpm_graph, build_reflow_graph, merge_graphs
+    from .onnx_proto import build_model
+
+    cond_out = f"{name}_cond"
+    pre_g = trace_to_graph(
+        pre_fn, tuple(np.asarray(a) for a in pre_args),
+        input_names=list(pre_names), output_names=[cond_out],
+        graph_name=f"{name}_pre", prefix=f"{name}pre.",
+    )
+    smin = np.asarray(normalizer.spec_min)
+    smax = np.asarray(normalizer.spec_max)
+    kw = dict(
+        spec_min=smin, spec_max=smax, shallow=False, post="curves",
+        clamps=normalizer.clamps, out_names=out_names,
+        cond_name=f"{name}_cond_in", prefix=f"{name}diff.",
+        graph_name=f"{name}_diffusion",
+    )
+    if isinstance(core, GaussianDiffusion):
+        dg = build_ddpm_graph(
+            den_fn, shape, cond_shape, alphas_cumprod=core.schedule.alphas_cumprod,
+            timesteps=core.timesteps, k_step=core.k_step, **kw)
+    else:
+        dg = build_reflow_graph(
+            den_fn, shape, cond_shape, t_start_cfg=0.0,
+            time_scale_factor=core.time_scale_factor, **kw)
+    merged = merge_graphs(pre_g, dg, [(cond_out, f"{name}_cond_in")], name)
+    data = build_model(merged)
+    path = out / f"{name}.onnx"
+    path.write_bytes(data)
+    print(f"| export merged graph: {path} ({len(data) / 1e6:.2f} MB)")
+    return f"{name}.onnx"
+
+
 def export_acoustic(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
                     fmt: str = "stablehlo", freeze_gender: Optional[float] = None,
                     freeze_velocity: Optional[float] = None,
@@ -510,6 +552,17 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         graphs["pitch"] = f"pitch_step.{fmt}"
         graph_inputs["pitch_pre"] = list(pre_names)
         graph_inputs["pitch"] = ["x", "t", "condition"]
+        if fmt == "onnx":
+            from ..models.toplevel import build_variance_normalizers
+
+            pn = build_variance_normalizers(cfg)["pitch"]
+            graphs["pitch_merged"] = _export_merged_predictor(
+                core, out, name="pitch", pre_fn=pitch_pre,
+                pre_args=tuple(pre_vals), pre_names=pre_names,
+                den_fn=pitch_step, shape=tuple(xp.shape),
+                cond_shape=(B, T_f, H), normalizer=pn, out_names=("pitd",),
+            )
+            graph_inputs["pitch_merged"] = list(pre_names) + ["depth", "steps"]
     if model.predict_variances:
         vargs = cfg.get("variances_prediction_args", {})
         n = len(model.variance_prediction_list)
@@ -533,6 +586,19 @@ def export_variance(cfg: Config, out_dir: Optional[str] = None, ckpt_steps=None,
         graphs["variance"] = f"variance_step.{fmt}"
         graph_inputs["variance_pre"] = ["condition", "pitch"]
         graph_inputs["variance"] = ["x", "t", "condition"]
+        if fmt == "onnx":
+            from ..models.toplevel import build_variance_normalizers
+
+            vn = build_variance_normalizers(cfg)["variances"]
+            graphs["variance_merged"] = _export_merged_predictor(
+                core, out, name="variance", pre_fn=variance_pre,
+                pre_args=(cond, pitch), pre_names=["condition", "pitch"],
+                den_fn=var_step, shape=tuple(xv.shape),
+                cond_shape=(B, T_f, H), normalizer=vn,
+                out_names=tuple(model.variance_prediction_list),
+            )
+            graph_inputs["variance_merged"] = ["condition", "pitch",
+                                               "depth", "steps"]
 
     manifest = {
         "model_type": "variance",

@@ -60,6 +60,48 @@ class _GB:
         return self.const(value, np.int64)
 
 
+def _emit_post(
+    g: _GB,
+    x_final: str,
+    shape: Tuple[int, int, int, int],
+    k: np.ndarray,
+    b: np.ndarray,
+    post: str,
+    clamps,
+    out_names: Sequence[str],
+) -> List[tuple]:
+    """Denormalize the sampled tensor and emit graph outputs.
+
+    ``post='mel'``: [B,1,T,M] -> denorm -> ``mel`` [B,T,M].
+    ``post='curves'``: [B,F,T,R] -> denorm -> mean over repeat bins ->
+    per-feature clamp -> F outputs [B,T] (SpecNormalizer.denorm parity,
+    models/diffusion/core.py:78-88; ref ddpm.py:386-505).
+    """
+    B, F, T, M = shape
+    den = g.node("Add", [g.node("Mul", [x_final, g.const(k)]), g.const(b)])
+    outputs = []
+    if post == "mel":
+        mel = g.node("Reshape", [den, g.i64([B, T, M])])
+        g.nodes.append(Node("Identity", [mel], [out_names[0]], {},
+                            name=g.fresh("out")))
+        return [(out_names[0], FLOAT, [B, T, M])]
+    mean = g.node("ReduceMean", [den], axes=[3], keepdims=0)  # [B, F, T]
+    for i, name in enumerate(out_names):
+        feat = g.node("Slice", [mean, g.i64([i]), g.i64([i + 1]), g.i64([1])])
+        curve = g.node("Reshape", [feat, g.i64([B, T])])
+        c = clamps[i] if clamps else None
+        if c is not None and (c[0] is not None or c[1] is not None):
+            # both bounds always provided (optional-input gaps are avoided
+            # so executors that filter empty names stay correct)
+            lo = g.f32(c[0] if c[0] is not None else -3.4e38)
+            hi = g.f32(c[1] if c[1] is not None else 3.4e38)
+            curve = g.node("Clip", [curve, lo, hi])
+        g.nodes.append(Node("Identity", [curve], [name], {},
+                            name=g.fresh("out")))
+        outputs.append((name, FLOAT, [B, T]))
+    return outputs
+
+
 def _trace_denoiser_body(
     denoise_fn,
     example_x: np.ndarray,
@@ -99,6 +141,10 @@ def build_reflow_graph(
     shallow: bool,
     graph_name: str = "diffusion",
     prefix: str = "diff.",
+    post: str = "mel",
+    clamps=None,
+    out_names: Sequence[str] = ("mel",),
+    cond_name: str = "condition",
 ) -> Graph:
     """Rectified-flow sampler as ONE graph with an embedded Euler Loop.
 
@@ -116,7 +162,7 @@ def build_reflow_graph(
     k = (np.asarray(spec_max, np.float32) - np.asarray(spec_min, np.float32)) / 2.0
     b = (np.asarray(spec_max, np.float32) + np.asarray(spec_min, np.float32)) / 2.0
 
-    inputs = [("condition", FLOAT, list(cond_shape))]
+    inputs = [(cond_name, FLOAT, list(cond_shape))]
     if shallow:
         inputs.append(("x_aux", FLOAT, [B, T, M]))
     inputs += [("depth", FLOAT, []), ("steps", INT64, [])]
@@ -151,7 +197,7 @@ def build_reflow_graph(
     ex_x = np.zeros((B, F, T, M), np.float32)
     ex_c = np.zeros(cond_shape, np.float32)
     body_g, x_name, t_name, v_name = _trace_denoiser_body(
-        denoise_fn, ex_x, ex_c, "condition", bp)
+        denoise_fn, ex_x, ex_c, cond_name, bp)
 
     bb = _GB(bp + "w.")
     iter_name, cond_in = bp + "iter", bp + "cond_in"
@@ -179,13 +225,8 @@ def build_reflow_graph(
     cond_true = g.const(np.asarray(True))
     x_final = g.node("Loop", ["steps", cond_true, x0], body=body)
 
-    # denorm + [B,F,T,M] -> [B,T,M]
-    flat = g.node("Reshape", [x_final, g.i64([B, T, M])])
-    mel = g.node("Add", [g.node("Mul", [flat, g.const(k)]), g.const(b)])
-    g.nodes.append(Node("Identity", [mel], ["mel"], {}, name=g.fresh("out")))
-
-    return Graph(graph_name, g.nodes, inputs, [("mel", FLOAT, [B, T, M])],
-                 g.initializers)
+    outputs = _emit_post(g, x_final, shape, k, b, post, clamps, out_names)
+    return Graph(graph_name, g.nodes, inputs, outputs, g.initializers)
 
 
 def build_ddpm_graph(
@@ -201,6 +242,10 @@ def build_ddpm_graph(
     shallow: bool,
     graph_name: str = "diffusion",
     prefix: str = "diff.",
+    post: str = "mel",
+    clamps=None,
+    out_names: Sequence[str] = ("mel",),
+    cond_name: str = "condition",
 ) -> Graph:
     """DDPM/DDIM sampler as ONE graph with an embedded Loop.
 
@@ -221,7 +266,7 @@ def build_ddpm_graph(
     k = (np.asarray(spec_max, np.float32) - np.asarray(spec_min, np.float32)) / 2.0
     b = (np.asarray(spec_max, np.float32) + np.asarray(spec_min, np.float32)) / 2.0
 
-    inputs = [("condition", FLOAT, list(cond_shape))]
+    inputs = [(cond_name, FLOAT, list(cond_shape))]
     if shallow:
         inputs.append(("x_aux", FLOAT, [B, T, M]))
     inputs += [("depth", FLOAT, []), ("steps", INT64, [])]
@@ -255,7 +300,7 @@ def build_ddpm_graph(
     ex_x = np.zeros((B, F, T, M), np.float32)
     ex_c = np.zeros(cond_shape, np.float32)
     body_g, x_name, t_name, v_name = _trace_denoiser_body(
-        denoise_fn, ex_x, ex_c, "condition", bp)
+        denoise_fn, ex_x, ex_c, cond_name, bp)
 
     bb = _GB(bp + "w.")
     iter_name, cond_in = bp + "iter", bp + "cond_in"
@@ -297,12 +342,8 @@ def build_ddpm_graph(
     cond_true = g.const(np.asarray(True))
     x_final = g.node("Loop", [n_iters, cond_true, x0], body=body)
 
-    flat = g.node("Reshape", [x_final, g.i64([B, T, M])])
-    mel = g.node("Add", [g.node("Mul", [flat, g.const(k)]), g.const(b)])
-    g.nodes.append(Node("Identity", [mel], ["mel"], {}, name=g.fresh("out")))
-
-    return Graph(graph_name, g.nodes, inputs, [("mel", FLOAT, [B, T, M])],
-                 g.initializers)
+    outputs = _emit_post(g, x_final, shape, k, b, post, clamps, out_names)
+    return Graph(graph_name, g.nodes, inputs, outputs, g.initializers)
 
 
 def merge_graphs(

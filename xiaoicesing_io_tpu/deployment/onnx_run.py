@@ -155,6 +155,10 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray],
         elif op == "ReduceSum":
             r = i[0].sum(axis=tuple(int(x) for x in i[1]),
                          keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ReduceMean":
+            ax = (tuple(int(x) for x in (i[1] if len(i) > 1 else a.get("axes", [])))
+                  or None)
+            r = i[0].mean(axis=ax, keepdims=bool(a.get("keepdims", 1)))
         elif op == "ReduceMax":
             r = i[0].max(axis=tuple(int(x) for x in i[1]),
                          keepdims=bool(a.get("keepdims", 1)))
