@@ -10,7 +10,11 @@ trainer's validation-loss reduction).
 
 Invoked by tests/test_multiprocess_dp.py:
 
-    python multiproc_dp_worker.py <pid> <nproc> <port> <outdir>
+    python multiproc_dp_worker.py <pid> <nproc> <port> <outdir> [model]
+
+``model`` is ``acoustic`` (default) or ``variance`` — the variance step
+exercises the retake masks and multi-head (dur/pitch/variance) losses
+through the gradient psum as well.
 
 Writes outdir/result_<pid>.json with device counts, the sampler's batch
 assignment for this rank, a post-step parameter digest, metrics, and the
@@ -26,6 +30,7 @@ from pathlib import Path
 pid, nproc, port, outdir = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], Path(sys.argv[4])
 )
+model_kind = sys.argv[5] if len(sys.argv) > 5 else "acoustic"
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
@@ -90,37 +95,77 @@ from xiaoicesing_io_tpu.training.acoustic import (  # noqa: E402
     build_acoustic, init_acoustic_state, make_acoustic_train_step,
 )
 
-cfg = load_config(
-    _P(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
-)
-cfg.update(
-    enc_layers=1, precision="fp32",
-    backbone_args=Config(num_channels=32, num_layers=1, kernel_size=31,
-                         strong_cond=True),
-)
-cfg["shallow_diffusion_args"]["aux_decoder_args"].update(
-    num_channels=32, num_layers=1
-)
-model, core, normalizer = build_acoustic(cfg, 12)
-state = init_acoustic_state(model, cfg, 12, jax.random.PRNGKey(0))
-
 # deterministic GLOBAL batch, identical on every process; B divisible by the
 # global device count.  Each host passes the same global array; device_put
 # scatters the addressable shards (per-host disjoint rows), exactly like the
 # per-host trainer feed.
-B, T_ph, T_f, M = 8, 8, 64, cfg["audio_num_mel_bins"]
+B, T_ph, T_f = 8, 8, 64
 rng = np.random.default_rng(5)
 dur = rng.integers(2, 9, size=(B, T_ph))
 mel2ph = np.asarray(length_regulator(jnp.asarray(dur), out_len=T_f))
-batch_np = {
-    "tokens": rng.integers(1, 12, size=(B, T_ph)).astype(np.int32),
-    "mel2ph": mel2ph.astype(np.int32),
-    "f0": rng.uniform(100, 400, size=(B, T_f)).astype(np.float32),
-    "mel": rng.uniform(-10, -1, size=(B, T_f, M)).astype(np.float32),
-}
+
+if model_kind == "acoustic":
+    cfg = load_config(
+        _P(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
+    )
+    cfg.update(
+        enc_layers=1, precision="fp32",
+        backbone_args=Config(num_channels=32, num_layers=1, kernel_size=31,
+                             strong_cond=True),
+    )
+    cfg["shallow_diffusion_args"]["aux_decoder_args"].update(
+        num_channels=32, num_layers=1
+    )
+    model, core, normalizer = build_acoustic(cfg, 12)
+    state = init_acoustic_state(model, cfg, 12, jax.random.PRNGKey(0))
+    M = cfg["audio_num_mel_bins"]
+    batch_np = {
+        "tokens": rng.integers(1, 12, size=(B, T_ph)).astype(np.int32),
+        "mel2ph": mel2ph.astype(np.int32),
+        "f0": rng.uniform(100, 400, size=(B, T_f)).astype(np.float32),
+        "mel": rng.uniform(-10, -1, size=(B, T_f, M)).astype(np.float32),
+    }
+    step_fn_factory = lambda: make_acoustic_train_step(  # noqa: E731
+        model, core, normalizer, cfg)
+else:
+    from xiaoicesing_io_tpu.training.variance import (  # noqa: E402
+        build_variance, init_variance_state, make_variance_train_step,
+    )
+
+    cfg = load_config(
+        _P(__file__).parent.parent / "xiaoicesing_io_tpu/configs/variance.yaml"
+    )
+    cfg.update(
+        enc_layers=1, hidden_size=64, precision="fp32",
+        predict_dur=True, predict_pitch=True,
+        predict_energy=True, predict_breathiness=True,
+    )
+    cfg["dur_prediction_args"].update(hidden_size=32, num_layers=1)
+    cfg["pitch_prediction_args"].update(repeat_bins=8)
+    cfg["pitch_prediction_args"]["backbone_args"].update(
+        num_layers=1, num_channels=16)
+    cfg["variances_prediction_args"].update(total_repeat_bins=8)
+    cfg["variances_prediction_args"]["backbone_args"].update(
+        num_layers=1, num_channels=16)
+    model, core, normalizer = build_variance(cfg, 12)
+    state = init_variance_state(model, cfg, 12, jax.random.PRNGKey(0))
+    batch_np = {
+        "tokens": rng.integers(1, 12, size=(B, T_ph)).astype(np.int32),
+        "midi": rng.integers(50, 70, size=(B, T_ph)).astype(np.int32),
+        "ph2word": np.cumsum(rng.integers(0, 2, size=(B, T_ph)), axis=1
+                             ).astype(np.int32) + 1,
+        "ph_dur": dur.astype(np.int32),
+        "mel2ph": mel2ph.astype(np.int32),
+        "base_pitch": rng.uniform(50, 70, size=(B, T_f)).astype(np.float32),
+        "pitch": rng.uniform(50, 70, size=(B, T_f)).astype(np.float32),
+        "energy": rng.uniform(-60, -20, size=(B, T_f)).astype(np.float32),
+        "breathiness": rng.uniform(-60, -20, size=(B, T_f)).astype(np.float32),
+    }
+    step_fn_factory = lambda: make_variance_train_step(  # noqa: E731
+        model, core, normalizer, cfg)
 
 mesh = make_mesh()
-step_fn = make_acoustic_train_step(model, core, normalizer, cfg)
+step_fn = step_fn_factory()
 dp_step = make_train_step(step_fn, mesh, donate=False)
 state_dp = jax.device_put(state, replicated_sharding(mesh))
 batch_dp = shard_batch(batch_np, mesh)

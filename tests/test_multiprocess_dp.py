@@ -46,12 +46,12 @@ def _clean_env():
     return env
 
 
-def _run_workers(nproc, outdir, timeout=900):
+def _run_workers(nproc, outdir, timeout=900, model="acoustic"):
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(pid), str(nproc), str(port),
-             str(outdir)],
+             str(outdir), model],
             env=_clean_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -114,6 +114,73 @@ def test_two_process_dp(tmp_path):
     np.testing.assert_allclose(
         results[0]["params_l2"], ref["params_l2"], rtol=1e-5
     )
+    for k, v in ref["metrics"].items():
+        np.testing.assert_allclose(results[0]["metrics"][k], v, rtol=2e-4,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_four_process_dp(tmp_path):
+    """N=4: rank round-robin with a non-divisible batch count (the leftover-
+    padding case 2 processes cannot exercise) + 4-host allgather.
+    Match: /root/reference/utils/training_utils.py:151-165."""
+    nproc = 4
+    results = _run_workers(nproc, tmp_path / "mp4")
+
+    for r in results:
+        assert r["process_count"] == nproc
+        assert r["global_devices"] == 2 * nproc
+
+    per_rank = [r["batches"] for r in results]
+    counts = {len(b) for b in per_rank}
+    assert len(counts) == 1, f"unequal batch counts per rank: {counts}"
+    flat = [set(i for batch in rb for i in batch) for rb in per_rank]
+    # full coverage...
+    assert set().union(*flat) == set(range(37))
+    # ...and at most one rank-pair overlap per item from padding: the
+    # NON-padded assignment must be disjoint.  Padding repeats whole batches,
+    # so count each rank's multiset; an item appearing in 2+ ranks must come
+    # from the padded tail batches only.
+    from collections import Counter
+
+    multi = Counter(i for f in flat for i in f)
+    dup_items = {i for i, c in multi.items() if c > 1}
+    # duplicated items are allowed only if SOME rank needed padding, i.e.
+    # total batches % nproc != 0 before padding; they must be a strict
+    # minority of the dataset
+    assert len(dup_items) < 37 // 2, f"too many cross-rank duplicates: {dup_items}"
+
+    # identical replicated parameters on all four hosts, bitwise
+    shas = {r["params_sha"] for r in results}
+    assert len(shas) == 1, "hosts diverged"
+    # 4-host allgather saw every host
+    for r in results:
+        assert r["allgather_sum"] == sum(range(1, nproc + 1))
+
+    # parity with a single-process run on the same global batch
+    ref = _run_workers(1, tmp_path / "sp4")[0]
+    np.testing.assert_allclose(results[0]["params_l2"], ref["params_l2"],
+                               rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_variance_dp(tmp_path):
+    """A REAL variance-model dp step: retake masks and the multi-head
+    dur/pitch/variance losses cross the gradient psum (the acoustic test
+    covers none of those). Match: ref variance_task.py:71-77."""
+    nproc = 2
+    results = _run_workers(nproc, tmp_path / "mpv", model="variance")
+
+    assert results[0]["params_sha"] == results[1]["params_sha"]
+    for k, v in results[0]["metrics"].items():
+        np.testing.assert_allclose(v, results[1]["metrics"][k], rtol=0,
+                                   err_msg=k)
+    assert {"dur_loss", "pitch_loss", "var_loss"} <= set(
+        results[0]["metrics"]) or "total_loss" in results[0]["metrics"]
+
+    ref = _run_workers(1, tmp_path / "spv", model="variance")[0]
+    np.testing.assert_allclose(results[0]["params_l2"], ref["params_l2"],
+                               rtol=1e-5)
     for k, v in ref["metrics"].items():
         np.testing.assert_allclose(results[0]["metrics"][k], v, rtol=2e-4,
                                    err_msg=k)
