@@ -67,3 +67,43 @@ def test_all_config_keys_documented():
     assert not missing, (
         f"config keys undocumented in docs/ConfigurationSchemas.md: {missing}"
     )
+
+
+def _nested_yaml_keys():
+    """All dotted key paths set by any packaged config."""
+    def walk(d, pre=""):
+        for k, v in d.items():
+            yield f"{pre}{k}"
+            if isinstance(v, dict):
+                yield from walk(v, f"{pre}{k}.")
+
+    keys = set()
+    for f in (PKG / "configs").rglob("*.yaml"):
+        d = yaml.safe_load(f.read_text())
+        if isinstance(d, dict):
+            keys |= set(walk(d))
+    return keys
+
+
+def test_every_key_has_its_own_entry():
+    """Per-key schema depth (the reference documents each key, including
+    nested args, as its own entry with type/default/scope attributes —
+    ref docs/ConfigurationSchemas.md): every dotted key path any packaged
+    YAML sets must have a `### <key>` heading, and every entry must carry
+    the full attribute line."""
+    text = DOC.read_text()
+    headings = set(re.findall(r"^### ([A-Za-z0-9_.]+)$", text, re.M))
+    missing = sorted(k for k in _nested_yaml_keys() if k not in headings)
+    assert not missing, f"keys without their own schema entry: {missing}"
+
+    # each heading's body must state type, default, visibility, scope and
+    # customizability
+    blocks = re.split(r"^### ", text, flags=re.M)[1:]
+    incomplete = []
+    for b in blocks:
+        name = b.split("\n", 1)[0].strip()
+        for attr in ("type:", "default:", "visibility:", "scope:",
+                     "customizability:"):
+            if attr not in b:
+                incomplete.append((name, attr))
+    assert not incomplete, f"entries missing attributes: {incomplete}"

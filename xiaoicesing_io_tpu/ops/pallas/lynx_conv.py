@@ -177,6 +177,11 @@ def lynx_conv_module(
         ],
         out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        # default scoped-vmem limit (16M) trips at B>=8 even though the
+        # per-block working set is B-independent; v5e has 128M vmem
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         x_windows.astype(jnp.bfloat16),  # halve input HBM traffic; LN is f32 inside
