@@ -69,3 +69,84 @@ class TestPesqApprox:
 
         wav = self._singing()
         assert pesq_approx(wav, np.roll(wav, -100), 44100) > 4.0
+
+    def test_monotonic_within_non_noise_degradation_families(self):
+        """Severity monotonicity beyond additive noise: lowpass filtering and
+        waveform clipping (vocoder-artifact-like degradations) must also
+        rank correctly."""
+        from scipy.signal import butter, lfilter
+
+        from xiaoicesing_io_tpu.eval.metrics import pesq_approx
+
+        wav = self._singing()
+        # lowpass: narrower cutoff = worse
+        lp_scores = []
+        for cutoff in (7000, 3000, 1200):
+            b, a = butter(4, cutoff / (44100 / 2))
+            lp_scores.append(pesq_approx(wav, lfilter(b, a, wav), 44100))
+        assert lp_scores[0] > lp_scores[1] > lp_scores[2], lp_scores
+
+        # hard clipping: lower threshold = worse
+        peak = np.abs(wav).max()
+        cl_scores = []
+        for frac in (0.8, 0.4, 0.15):
+            cl_scores.append(
+                pesq_approx(wav, np.clip(wav, -frac * peak, frac * peak), 44100)
+            )
+        assert cl_scores[0] > cl_scores[1] > cl_scores[2], cl_scores
+
+    def test_rank_consistent_with_mcd_within_families(self):
+        """Cross-metric anchor: within each degradation family (noise,
+        lowpass, clipping at increasing severity), PESQ must fall while
+        waveform MCD rises — the two independent quality rulers must order
+        severities consistently.  (Across heterogeneous families the two
+        legitimately disagree: MCD's log-domain upper bands explode under
+        lowpass while the perceptual model weights the voiced low bands, so
+        cross-family rank correlation is NOT asserted.)"""
+        from scipy.signal import butter, lfilter
+
+        from xiaoicesing_io_tpu.eval.metrics import mcd, pesq_approx
+        from xiaoicesing_io_tpu.ops.mel import MelConfig
+
+        wav = self._singing()
+        rng = np.random.default_rng(2)
+        noise = rng.standard_normal(len(wav))
+        noise /= np.sqrt(np.mean(noise ** 2))
+        rms = np.sqrt(np.mean(wav ** 2))
+        peak = np.abs(wav).max()
+
+        families = {
+            "noise": [wav + rms * 10 ** (-snr / 20) * noise
+                      for snr in (35, 20, 8)],
+            "lowpass": [lfilter(*butter(4, c / (44100 / 2)), wav)
+                        for c in (8000, 4000, 1500)],
+            "clip": [np.clip(wav, -f * peak, f * peak)
+                     for f in (0.6, 0.3, 0.12)],
+        }
+        cfg = MelConfig()
+        for name, degs in families.items():
+            pesqs = [pesq_approx(wav, d, 44100) for d in degs]
+            mcds = [mcd(wav.astype(np.float32), np.asarray(d, np.float32),
+                        is_mel=False, mel_cfg=cfg) for d in degs]
+            assert pesqs[0] > pesqs[1] > pesqs[2], (name, pesqs)
+            assert mcds[0] < mcds[1] < mcds[2], (name, mcds)
+
+    def test_stable_across_sample_rates(self):
+        """The metric resamples internally to 16 kHz: the same content
+        presented at 44.1k and at 16k must score nearly the same."""
+        from scipy.signal import resample_poly
+
+        from xiaoicesing_io_tpu.eval.metrics import pesq_approx
+
+        wav = self._singing()
+        rng = np.random.default_rng(3)
+        noise = rng.standard_normal(len(wav))
+        noise /= np.sqrt(np.mean(noise ** 2))
+        rms = np.sqrt(np.mean(wav ** 2))
+        deg = wav + rms * 10 ** (-20 / 20) * noise
+
+        s44 = pesq_approx(wav, deg, 44100)
+        wav16 = resample_poly(wav, 160, 441)
+        deg16 = resample_poly(deg, 160, 441)
+        s16 = pesq_approx(wav16, deg16, 16000)
+        assert abs(s44 - s16) < 0.25, (s44, s16)

@@ -77,6 +77,15 @@ def f0_rmse_cents(f0_a: np.ndarray, f0_b: np.ndarray) -> Tuple[float, float]:
 # and the ITU calibration tables, so ABSOLUTE values are not comparable to
 # ITU PESQ — the score is monotonic in distortion and anchored so that
 # identical signals score 4.64 (the P.862.1 ceiling).
+#
+# Calibration evidence (tests/test_eval_metrics.py::TestPesqApprox):
+# identity ≈ 4.6; additive white noise at SNR 40/25/10 dB orders strictly
+# with >3.8 / <2.5 endpoints (matching the published P.862 white-noise MOS
+# trend); severity-monotonic under lowpass filtering and hard clipping
+# (vocoder-artifact-like families), with ordering consistent with waveform
+# MCD inside each family; and stable (<0.25 MOS) across presenting the same
+# content at 44.1 kHz vs 16 kHz. Cross-family absolute comparisons remain
+# out of scope, as for any uncalibrated P.862 implementation.
 
 _PESQ_SR = 16000
 _PESQ_NFFT = 512
