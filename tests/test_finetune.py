@@ -38,6 +38,7 @@ def _leaf(params, dotted):
     return np.asarray(node)
 
 
+@pytest.mark.slow
 def test_finetune_load_blacklist_and_shape_tolerance(tmp_path):
     cfg = _tiny_cfg(num_spk=2)
     model, _, _ = build_acoustic(cfg, VOCAB)

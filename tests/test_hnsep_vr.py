@@ -22,6 +22,7 @@ from xiaoicesing_io_tpu.models.hnsep_vr import CascadedNet  # noqa: E402
 from xiaoicesing_io_tpu.utils.torch_ckpt import convert_cascaded_net  # noqa: E402
 
 
+@pytest.mark.slow
 def test_cascaded_net_parity(rng):
     from modules.hnsep.vr.nets import CascadedNet as TorchNet
 

@@ -12,7 +12,10 @@ from xiaoicesing_io_tpu.models.vocoders.nsf_hifigan import (
 )
 
 
-@pytest.mark.parametrize("mini_nsf,resblock", [(False, "1"), (True, "2")])
+@pytest.mark.parametrize(
+    "mini_nsf,resblock",
+    [pytest.param(False, "1", marks=pytest.mark.slow), (True, "2")],
+)
 def test_fast_vocoder_matches_stock(rng, mini_nsf, resblock):
     cfg = NsfHifiganConfig(
         num_mels=16, sampling_rate=44100, hop_size=64,

@@ -54,6 +54,7 @@ def _batch(rng, B=8, T_ph=8, T_f=64, M=128):
     }
 
 
+@pytest.mark.slow  # multi-process DP tests cover this path in the slow tier too
 def test_dp_step_matches_single_device(setup, rng):
     cfg, model, state, step_fn = setup
     mesh = make_mesh()
