@@ -56,6 +56,10 @@ class Trainer:
         self.mesh = make_mesh()
         self.num_replicas = jax.process_count()
         self.rank = jax.process_index()
+        # feed-path attribution (VERDICT r2 task 4): collate/transfer run in
+        # the prefetch thread (hidden behind device compute); `starve` is the
+        # only feed cost the device actually waits on
+        self._feed_stats = {"collate_s": 0.0, "dispatch_s": 0.0, "starve_s": 0.0}
 
         repl = replicated_sharding(self.mesh)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -148,17 +152,25 @@ class Trainer:
             def __init__(self, exc):
                 self.exc = exc
 
+        stats = self._feed_stats
+
         def producer():
             try:
                 for indices in sampler:
+                    t0 = time.perf_counter()
                     batch_np = self._collate_train(indices)
                     real_frames = (
                         int((batch_np["mel2ph"] > 0).sum())
                         if "mel2ph" in batch_np else 0
                     )
+                    t1 = time.perf_counter()
                     # dispatch the transfer from the producer: step i's
                     # compute overlaps batch i+1's host->device copy
-                    q.put((shard_batch(batch_np, self.mesh), real_frames))
+                    dev = shard_batch(batch_np, self.mesh)
+                    t2 = time.perf_counter()
+                    stats["collate_s"] += t1 - t0
+                    stats["dispatch_s"] += t2 - t1
+                    q.put((dev, real_frames))
                 q.put(stop)
             except BaseException as e:  # surface in the main thread
                 q.put(_Raised(e))
@@ -166,7 +178,11 @@ class Trainer:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         while True:
+            t0 = time.perf_counter()
             item = q.get()
+            # time the consumer spent starved of data: the only part of the
+            # feed path NOT hidden behind device compute
+            stats["starve_s"] += time.perf_counter() - t0
             if item is stop:
                 break
             if isinstance(item, _Raised):
@@ -284,6 +300,15 @@ class Trainer:
                         / max(dt, 1e-9) / self.num_devices
                     )
                     frames_since_log = 0
+                    fs = self._feed_stats
+                    n_it = self.log_interval * self.accum
+                    feed = (
+                        f" | feed: collate {fs['collate_s']/n_it*1e3:.1f}"
+                        f" xfer {fs['dispatch_s']/n_it*1e3:.1f}"
+                        f" starve {fs['starve_s']/n_it*1e3:.1f} ms/it"
+                    )
+                    for k in fs:
+                        fs[k] = 0.0
                     if self.rank == 0:
                         # train metrics are replicated (the loss averages the
                         # global sharded batch under jit), so rank-0 logging
@@ -293,6 +318,7 @@ class Trainer:
                             + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
                             + f" | lr={lr:.2e} | {sps:.2f} it/s"
                             + f" | {audio_sps:.1f} audio-s/s/chip"
+                            + feed
                         )
                     if self.writer:
                         for k, v in metrics.items():
