@@ -76,3 +76,35 @@ def test_lynx_pallas_apply_fused_layer_matches(rng):
         ))
         np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
         assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_hybrid_module_matches_v1(rng):
+    """lynx_conv_module_hybrid (XLA head + Pallas tail) == the v1 fused
+    kernel's module numerics (bf16-storage tolerance on `inner`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xiaoicesing_io_tpu.ops.pallas.lynx_conv import lynx_conv_module
+    from xiaoicesing_io_tpu.ops.pallas.lynx_hybrid import lynx_conv_module_hybrid
+
+    B, T, dim, inner, k = 2, 300, 128, 256, 31
+    x = jnp.asarray(rng.standard_normal((B, T, dim)).astype(np.float32))
+    args = (
+        jnp.asarray(rng.standard_normal(dim).astype(np.float32)) * 0.1 + 1.0,
+        jnp.asarray(rng.standard_normal(dim).astype(np.float32)) * 0.1,
+        jnp.asarray(rng.standard_normal((dim, 2 * inner)).astype(np.float32)) * 0.05,
+        jnp.asarray(rng.standard_normal(2 * inner).astype(np.float32)) * 0.05,
+        jnp.asarray(rng.standard_normal((k, 1, inner)).astype(np.float32)) * 0.2,
+        jnp.asarray(rng.standard_normal(inner).astype(np.float32)) * 0.05,
+        jnp.asarray(np.full(inner, 0.25, np.float32)),
+        jnp.asarray(rng.standard_normal((inner, dim)).astype(np.float32)) * 0.05,
+        jnp.asarray(rng.standard_normal(dim).astype(np.float32)) * 0.05,
+    )
+    ref = lynx_conv_module(x, *args, kernel_size=k, tile=128, interpret=True)
+    got = lynx_conv_module_hybrid(x, *args, kernel_size=k, tile=128,
+                                  interpret=True)
+    assert got.shape == ref.shape == (B, T, dim)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )

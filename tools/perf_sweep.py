@@ -72,7 +72,8 @@ def sweep_sampler():
     bargs = cfg["backbone_args"]
     key = jax.random.PRNGKey(1)
 
-    def make_sample(mode, tile=256, dw_impl="slice", ablate="", chunks=1):
+    def make_sample(mode, tile=256, dw_impl="slice", ablate="", chunks=1,
+                    module_impl="v1"):
         def run(params, tokens, mel2ph, f0, key):
             cond = model.apply(params, tokens, mel2ph, f0,
                                method=AcousticModel.condition)
@@ -100,6 +101,7 @@ def sweep_sampler():
                         dw_impl=dw_impl,
                         ablate=ablate,
                         chunks=chunks,
+                        module_impl=module_impl,
                     ).astype(jnp.float32)
             x = core.inference(
                 velocity_fn, key, (B, 1, T_F, M),
@@ -112,7 +114,15 @@ def sweep_sampler():
         return jax.jit(run)
 
     which = sys.argv[2] if len(sys.argv) > 2 else "base"
-    if which == "v3":
+    if which == "hybrid":
+        # round-3: XLA matmul head + Pallas conv tail vs the v1 kernel
+        configs = [
+            ("v1", {"tile": 256}),
+            ("v1", {"tile": 256, "module_impl": "hybrid"}),
+            ("v1", {"tile": 512, "module_impl": "hybrid"}),
+            ("v1", {"tile": 1024, "module_impl": "hybrid"}),
+        ]
+    elif which == "v3":
         configs = [
             ("v3", {"tile": 256}),
             ("v3", {"tile": 128}),

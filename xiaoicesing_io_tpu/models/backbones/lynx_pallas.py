@@ -70,6 +70,7 @@ def lynx_denoiser_apply(
     fused_layer=False,  # True/"v2": whole-layer kernel; "v3": software-pipelined
     dw_impl: str = "slice",
     ablate: str = "",  # v2 stage ablation for perf attribution (wrong results)
+    module_impl: str = "v1",  # "hybrid": XLA matmul head + Pallas conv tail
 ) -> jnp.ndarray:
     p = _resolve(params)
     B, F, T, M = spec.shape
@@ -121,15 +122,29 @@ def lynx_denoiser_apply(
             h = x + cond_proj
         h = h + _dense(lp["diffusion_projection"], step)[:, None, :]
         cm = lp["convmodule"]
-        h = lynx_conv_module(
-            h,
-            cm["norm"]["scale"], cm["norm"]["bias"],
-            cm["pw_in"]["kernel"], cm["pw_in"]["bias"],
-            cm["dw_conv"]["kernel"], cm["dw_conv"]["bias"],
-            cm["act"]["alpha"],
-            cm["pw_out"]["kernel"], cm["pw_out"]["bias"],
-            kernel_size=kernel_size, tile=tile, chunks=chunks, interpret=interpret,
-        ).astype(compute_dtype)
+        if module_impl == "hybrid":
+            from ...ops.pallas.lynx_hybrid import lynx_conv_module_hybrid
+
+            h = lynx_conv_module_hybrid(
+                h,
+                cm["norm"]["scale"], cm["norm"]["bias"],
+                cm["pw_in"]["kernel"], cm["pw_in"]["bias"],
+                cm["dw_conv"]["kernel"], cm["dw_conv"]["bias"],
+                cm["act"]["alpha"],
+                cm["pw_out"]["kernel"], cm["pw_out"]["bias"],
+                kernel_size=kernel_size, tile=tile, interpret=interpret,
+            ).astype(compute_dtype)
+        else:
+            h = lynx_conv_module(
+                h,
+                cm["norm"]["scale"], cm["norm"]["bias"],
+                cm["pw_in"]["kernel"], cm["pw_in"]["bias"],
+                cm["dw_conv"]["kernel"], cm["dw_conv"]["bias"],
+                cm["act"]["alpha"],
+                cm["pw_out"]["kernel"], cm["pw_out"]["bias"],
+                kernel_size=kernel_size, tile=tile, chunks=chunks,
+                interpret=interpret,
+            ).astype(compute_dtype)
         x = h + res
 
     # final LayerNorm (f32) + zero-init output projection
