@@ -94,7 +94,9 @@ def val_vocoder(wavs, config, out):
               help="Also write the full report as JSON to this path")
 @click.option("--pesq", "with_pesq", is_flag=True, default=False,
               help="Also vocode predicted + GT mels and report waveform PESQ")
-def eval_cmd(exp, dataset, limit, seed, json_path, with_pesq):
+@click.option("--ckpt", "ckpt_steps", type=int, required=False,
+              help="Evaluate a specific checkpoint step (default: latest)")
+def eval_cmd(exp, dataset, limit, seed, json_path, with_pesq, ckpt_steps):
     def _dump(report):
         if json_path:
             p = pathlib.Path(json_path)
@@ -120,7 +122,7 @@ def eval_cmd(exp, dataset, limit, seed, json_path, with_pesq):
     from ..eval.copy_synthesis import evaluate_acoustic
 
     report = evaluate_acoustic(cfg, dataset=dataset, limit=limit, seed=seed,
-                               with_pesq=with_pesq)
+                               with_pesq=with_pesq, ckpt_steps=ckpt_steps)
     for it in report["items"]:
         aux = "" if it["aux_mae"] is None else f"  aux_mae={it['aux_mae']:.4f}"
         pq = "" if it.get("pesq") is None else f"  pesq={it['pesq']:.2f}"

@@ -57,7 +57,7 @@ def _batch_from_item(cfg, infer, b: Dict[str, np.ndarray]) -> Dict:
 
 def evaluate_acoustic(
     cfg, dataset: str = "valid", limit: Optional[int] = None, seed: int = 0,
-    with_pesq: bool = False,
+    with_pesq: bool = False, ckpt_steps: Optional[int] = None,
 ) -> Dict:
     """Returns {"items": [{name, frames, mel_mae, aux_mae}...],
     "mean_mel_mae": float[, "mean_aux_mae": float], "step": int}.
@@ -71,7 +71,8 @@ def evaluate_acoustic(
     from ..inference.acoustic import DiffSingerAcousticInfer
     from ..models.toplevel import AcousticModel
 
-    infer = DiffSingerAcousticInfer(cfg, load_vocoder=with_pesq)
+    infer = DiffSingerAcousticInfer(cfg, load_vocoder=with_pesq,
+                                    ckpt_steps=ckpt_steps)
     ds = AcousticDataset(cfg["binary_data_dir"], dataset, cfg)
 
     use_shallow = cfg.get("use_shallow_diffusion", False)
@@ -140,7 +141,8 @@ def evaluate_acoustic(
         })
 
     out = {
-        "step": _checkpoint_step(cfg["work_dir"]),
+        "step": (int(ckpt_steps) if ckpt_steps is not None
+                 else _checkpoint_step(cfg["work_dir"])),
         "dataset": dataset,
         "items": items,
         "mean_mel_mae": float(np.mean([it["mel_mae"] for it in items])),
