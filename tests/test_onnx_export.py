@@ -393,3 +393,30 @@ def test_curves_loop_post_matches_normalizer(rng):
     curves = norm.denorm(x)
     np.testing.assert_allclose(out["pitd"], np.asarray(curves[0]), atol=1e-4)
     np.testing.assert_allclose(out["energy"], np.asarray(curves[1]), atol=1e-4)
+
+
+def test_merged_reflow_depth_zero_returns_aux(tiny_acoustic):
+    """depth=0 -> t0=1 -> the graph must return the denormalized aux mel
+    exactly (the reference's scripted branch returns x_end; ours reaches the
+    same result because dt=0 makes every Euler step an identity)."""
+    from xiaoicesing_io_tpu.deployment.onnx_proto import parse_model
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_graph
+    from xiaoicesing_io_tpu.training.acoustic import build_acoustic
+
+    cfg, model, params, (_, _, _, M) = tiny_acoustic
+    _, core, normalizer = build_acoustic(cfg, 12)
+    B, T_f = 1, 64
+    shape = (B, 1, T_f, M)
+    data, den, fs2_aux, (tokens, mel2ph, f0) = _merged_acoustic(
+        model, params, core, normalizer, cfg, shape)
+    graph, _ = parse_model(data)
+    out = run_graph(
+        graph,
+        {"tokens": tokens, "mel2ph": mel2ph, "f0": f0,
+         "depth": np.asarray(0.0, np.float32),
+         "steps": np.asarray(7, np.int64)},
+        rng=np.random.default_rng(0),
+    )["mel"]
+    _, aux = fs2_aux(tokens, mel2ph, f0)
+    ref = np.asarray(normalizer.denorm(jnp.asarray(aux)[:, None]))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
