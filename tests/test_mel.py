@@ -90,3 +90,20 @@ def test_num_frames_helper(cfg, extractor):
     for n in [44100, 44100 + 13, 512 * 100]:
         y = _rand_wav(n, seed=3)
         assert extractor.numpy(y).shape[0] == num_frames(n, cfg.win_size, cfg.hop_size)
+
+
+def test_device_batched_matches_numpy():
+    """MelSpectrogram.device (bucketed, backend-dispatched) == the numpy
+    path on the true frame range."""
+    from xiaoicesing_io_tpu.ops.mel import MelConfig, MelSpectrogram
+
+    cfg = MelConfig()
+    ext = MelSpectrogram(cfg)
+    rng = np.random.default_rng(0)
+    T = 3 * cfg.hop_size * 100 + 77  # deliberately off-bucket
+    y = rng.uniform(-0.5, 0.5, (2, T)).astype(np.float32)
+    ref0 = ext.numpy(y[0])
+    got = ext.device(y, bucket_frames=64)
+    n = len(ref0)
+    assert got.shape[1] >= n
+    np.testing.assert_allclose(got[0][: n - 2], ref0[: n - 2], atol=2e-3)

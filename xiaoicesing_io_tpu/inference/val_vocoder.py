@@ -37,10 +37,21 @@ def copy_synthesis(wav_paths, cfg, out_dir, vocoder=None):
         rec = vocoder.spec2wav(mel, f0)
         out_path = out_dir / f"{p.stem}_copysyn.wav"
         save_wav(rec, out_path, cfg["audio_sample_rate"])
-        # objective scores: log-mel reconstruction error + waveform PESQ
-        mel_rec = mel_extractor.numpy(rec[: len(wav)])
-        n = min(len(mel), len(mel_rec))
-        mae = float(np.abs(mel[:n] - mel_rec[:n]).mean())
+        # objective scores: log-mel reconstruction error + waveform PESQ.
+        # On TPU the GT/reconstruction pair is scored through the batched
+        # on-device mel path (fused Pallas kernel; docs/PerformanceNotes.md)
+        import jax
+
+        if jax.default_backend() == "tpu":
+            m = min(len(wav), len(rec))
+            pair = mel_extractor.device(np.stack([wav[:m], rec[:m]]))
+            n = len(mel)
+            mel_gt_n, mel_rec = pair[0][:n], pair[1][:n]
+            mae = float(np.abs(mel_gt_n - mel_rec).mean())
+        else:
+            mel_rec = mel_extractor.numpy(rec[: len(wav)])
+            n = min(len(mel), len(mel_rec))
+            mae = float(np.abs(mel[:n] - mel_rec[:n]).mean())
         from ..eval.metrics import pesq_approx
 
         m = min(len(wav), len(rec))

@@ -213,6 +213,35 @@ class MelSpectrogram:
         ang = -2.0 * np.pi * k * f / c.n_fft
         return np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
 
+    def device(self, y: np.ndarray, bucket_frames: int = 256) -> np.ndarray:
+        """Batched on-accelerator mel for [B, T] waveforms -> [B, frames, M].
+
+        Pads T up to a ``bucket_frames`` hop grid (bounded jit cache) and
+        dispatches to the fused Pallas kernel on TPU for B >= 2 — measured
+        20.3 ms vs 27-32 ms XLA at B=4 x 2048 frames on v5e; parity at B=1,
+        where the XLA matmul-DFT path is used instead
+        (docs/PerformanceNotes.md round 3). Callers slice the true frame
+        count off the result.
+        """
+        import jax
+
+        y = np.atleast_2d(np.asarray(y, np.float32))
+        c = self.cfg
+        bucket = bucket_frames * c.hop_size
+        pad_t = (-y.shape[1]) % bucket
+        y = np.pad(y, ((0, 0), (0, pad_t)))
+        if jax.default_backend() == "tpu" and y.shape[0] >= 2:
+            if not hasattr(self, "_pallas"):
+                from .pallas.mel_kernel import PallasMelSpectrogram
+
+                self._pallas = PallasMelSpectrogram(c)
+            return np.asarray(self._pallas(jnp.asarray(y)))
+        if not hasattr(self, "_jax_jit"):
+            import functools
+
+            self._jax_jit = jax.jit(self.jax)
+        return np.asarray(self._jax_jit(jnp.asarray(y)))
+
     def jax(self, y: jnp.ndarray) -> jnp.ndarray:
         """y: [B, T] -> log-mel [B, frames, M]; jit-able, static shapes.
 
