@@ -27,26 +27,20 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _pad_batch_rows(batch: dict, n: int) -> dict:
-    """Append all-zero rows so the batch has exactly ``n`` rows.
-
-    Zero rows are pure padding: tokens == 0 (pad id) and mel2ph == 0, so
-    they carry no loss under the non-padding masks and no frames in the
-    throughput metric (see Trainer._collate_train).
-    """
-    b = next(iter(batch.values())).shape[0]
-    if n <= b:
-        return batch
-    pad = n - b
-    return {
-        k: np.pad(v, ((0, pad),) + ((0, 0),) * (v.ndim - 1))
-        for k, v in batch.items()
-    }
+#: auto-preload limit: binarized sets smaller than this are held in RAM so
+#: the collate thread never re-reads HDF5 (per-item reads are ~70% of a warm
+#: collate's cost on this host — docs/PerformanceNotes.md round 3)
+PRELOAD_AUTO_MAX_BYTES = 512 * 1024 * 1024
 
 
 class BaseDataset:
     def __init__(self, data_dir, prefix: str, size_key: str = "lengths",
-                 preload: bool = False):
+                 preload: bool | None = None):
+        """``preload``: True/False force; None = auto (preload iff the
+        ``.data`` file is under ``PRELOAD_AUTO_MAX_BYTES``).  The reference
+        exposes the same option (``/root/reference/basics/base_dataset.py:26``)
+        but never enables it; here a starved feed thread directly idles the
+        TPU, so small sets default to resident."""
         self.data_dir = Path(data_dir)
         self.prefix = prefix
         with open(self.data_dir / f"{prefix}.meta", "rb") as f:
@@ -54,6 +48,12 @@ class BaseDataset:
         self.sizes = np.asarray(self.metadata[size_key])
         self._ds = IndexedDataset(self.data_dir, prefix)
         self._preloaded = None
+        if preload is None:
+            try:
+                preload = (self.data_dir / f"{prefix}.data").stat().st_size \
+                    < PRELOAD_AUTO_MAX_BYTES
+            except OSError:
+                preload = False
         if preload:
             self._preloaded = [self._ds[i] for i in range(len(self._ds))]
 
@@ -70,7 +70,9 @@ class BaseDataset:
 
 
 class AcousticDataset(BaseDataset):
-    def __init__(self, data_dir, prefix, cfg, preload=False):
+    def __init__(self, data_dir, prefix, cfg, preload=None):
+        if preload is None:
+            preload = cfg.get("dataset_preload", None)
         super().__init__(data_dir, prefix, size_key=cfg.get("dataset_size_key", "lengths"),
                          preload=preload)
         self.cfg = cfg
@@ -87,31 +89,46 @@ class AcousticDataset(BaseDataset):
         if pad_to_bucket:
             T_f = _round_up(T_f, FRAME_BUCKET)
             T_ph = _round_up(T_ph, TOKEN_BUCKET)
+        # rows > len(samples) appends all-zero padding rows: tokens == 0 (pad
+        # id) and mel2ph == 0, so they carry no loss under the non-padding
+        # masks and no frames in the throughput metric
+        n = max(len(samples), pad_batch_to)
         batch = {
-            "tokens": collate_nd([s["tokens"] for s in samples], max_len=T_ph).astype(np.int32),
-            "mel": collate_nd([s["mel"] for s in samples], max_len=T_f).astype(np.float32),
-            "mel2ph": collate_nd([s["mel2ph"] for s in samples], max_len=T_f).astype(np.int32),
-            "f0": collate_nd([s["f0"] for s in samples], max_len=T_f).astype(np.float32),
+            "tokens": collate_nd([s["tokens"] for s in samples], max_len=T_ph,
+                                 dtype=np.int32, rows=n),
+            "mel": collate_nd([s["mel"] for s in samples], max_len=T_f,
+                              dtype=np.float32, rows=n),
+            "mel2ph": collate_nd([s["mel2ph"] for s in samples], max_len=T_f,
+                                 dtype=np.int32, rows=n),
+            "f0": collate_nd([s["f0"] for s in samples], max_len=T_f,
+                             dtype=np.float32, rows=n),
         }
         for v in self.required_variances:
-            batch[v] = collate_nd([s[v] for s in samples], max_len=T_f).astype(np.float32)
+            batch[v] = collate_nd([s[v] for s in samples], max_len=T_f,
+                                  dtype=np.float32, rows=n)
         if self.cfg.get("use_key_shift_embed", False):
-            batch["key_shift"] = np.stack(
-                [np.full(T_f, s["key_shift"], np.float32) for s in samples]
-            )
+            ks = np.zeros((n, T_f), np.float32)
+            ks[: len(samples)] = np.asarray(
+                [s["key_shift"] for s in samples], np.float32
+            )[:, None]
+            batch["key_shift"] = ks
         if self.cfg.get("use_speed_embed", False):
-            batch["speed"] = np.stack(
-                [np.full(T_f, s["speed"], np.float32) for s in samples]
-            )
+            sp = np.zeros((n, T_f), np.float32)
+            sp[: len(samples)] = np.asarray(
+                [s["speed"] for s in samples], np.float32
+            )[:, None]
+            batch["speed"] = sp
         if self.cfg.get("use_spk_id", False):
-            batch["spk_ids"] = np.asarray([s["spk_id"] for s in samples], np.int32)
-        if pad_batch_to:
-            batch = _pad_batch_rows(batch, pad_batch_to)
+            ids = np.zeros(n, np.int32)
+            ids[: len(samples)] = [s["spk_id"] for s in samples]
+            batch["spk_ids"] = ids
         return batch
 
 
 class VarianceDataset(BaseDataset):
-    def __init__(self, data_dir, prefix, cfg, preload=False):
+    def __init__(self, data_dir, prefix, cfg, preload=None):
+        if preload is None:
+            preload = cfg.get("dataset_preload", None)
         super().__init__(data_dir, prefix, size_key=cfg.get("dataset_size_key", "lengths"),
                          preload=preload)
         self.cfg = cfg
@@ -127,53 +144,68 @@ class VarianceDataset(BaseDataset):
         T_ph = max(len(s["tokens"]) for s in samples)
         if pad_to_bucket:
             T_ph = _round_up(T_ph, TOKEN_BUCKET)
+        n = max(len(samples), pad_batch_to)  # extra rows = all-zero padding
         batch = {
-            "tokens": collate_nd([s["tokens"] for s in samples], max_len=T_ph).astype(np.int32),
-            "ph_dur": collate_nd([s["ph_dur"] for s in samples], max_len=T_ph).astype(np.int32),
+            "tokens": collate_nd([s["tokens"] for s in samples], max_len=T_ph,
+                                 dtype=np.int32, rows=n),
+            "ph_dur": collate_nd([s["ph_dur"] for s in samples], max_len=T_ph,
+                                 dtype=np.int32, rows=n),
         }
         if cfg.get("predict_dur", True):
             batch["ph2word"] = collate_nd(
-                [s["ph2word"] for s in samples], max_len=T_ph
-            ).astype(np.int32)
-            batch["midi"] = collate_nd([s["midi"] for s in samples], max_len=T_ph).astype(np.int32)
+                [s["ph2word"] for s in samples], max_len=T_ph,
+                dtype=np.int32, rows=n,
+            )
+            batch["midi"] = collate_nd([s["midi"] for s in samples], max_len=T_ph,
+                                       dtype=np.int32, rows=n)
         if "mel2ph" in samples[0]:
             T_f = max(s["mel2ph"].shape[0] for s in samples)
             if pad_to_bucket:
                 T_f = _round_up(T_f, FRAME_BUCKET)
             batch["mel2ph"] = collate_nd(
-                [s["mel2ph"] for s in samples], max_len=T_f
-            ).astype(np.int32)
-            batch["pitch"] = collate_nd([s["pitch"] for s in samples], max_len=T_f).astype(np.float32)
-            batch["uv"] = collate_nd([s["uv"] for s in samples], max_len=T_f).astype(bool)
+                [s["mel2ph"] for s in samples], max_len=T_f,
+                dtype=np.int32, rows=n,
+            )
+            batch["pitch"] = collate_nd([s["pitch"] for s in samples], max_len=T_f,
+                                        dtype=np.float32, rows=n)
+            batch["uv"] = collate_nd([s["uv"] for s in samples], max_len=T_f,
+                                     dtype=bool, rows=n)
         if cfg.get("predict_pitch", True):
             T_n = max(s["note_midi"].shape[0] for s in samples)
             if pad_to_bucket:
                 T_n = _round_up(T_n, TOKEN_BUCKET)
             batch["note_midi"] = collate_nd(
-                [s["note_midi"] for s in samples], pad_value=-1.0, max_len=T_n
-            ).astype(np.float32)
+                [s["note_midi"] for s in samples], pad_value=-1.0, max_len=T_n,
+                dtype=np.float32, rows=n,
+            )
             batch["note_rest"] = collate_nd(
-                [s["note_rest"] for s in samples], pad_value=True, max_len=T_n
-            ).astype(bool)
+                [s["note_rest"] for s in samples], pad_value=True, max_len=T_n,
+                dtype=bool, rows=n,
+            )
             batch["note_dur"] = collate_nd(
-                [s["note_dur"] for s in samples], max_len=T_n
-            ).astype(np.int32)
+                [s["note_dur"] for s in samples], max_len=T_n,
+                dtype=np.int32, rows=n,
+            )
             if cfg.get("use_glide_embed", False):
                 batch["note_glide"] = collate_nd(
-                    [s["note_glide"] for s in samples], max_len=T_n
-                ).astype(np.int32)
+                    [s["note_glide"] for s in samples], max_len=T_n,
+                    dtype=np.int32, rows=n,
+                )
             batch["mel2note"] = collate_nd(
-                [s["mel2note"] for s in samples], max_len=batch["mel2ph"].shape[1]
-            ).astype(np.int32)
+                [s["mel2note"] for s in samples], max_len=batch["mel2ph"].shape[1],
+                dtype=np.int32, rows=n,
+            )
             batch["base_pitch"] = collate_nd(
-                [s["base_pitch"] for s in samples], max_len=batch["mel2ph"].shape[1]
-            ).astype(np.float32)
+                [s["base_pitch"] for s in samples], max_len=batch["mel2ph"].shape[1],
+                dtype=np.float32, rows=n,
+            )
         for v in self.predict_variances:
             batch[v] = collate_nd(
-                [s[v] for s in samples], max_len=batch["mel2ph"].shape[1]
-            ).astype(np.float32)
+                [s[v] for s in samples], max_len=batch["mel2ph"].shape[1],
+                dtype=np.float32, rows=n,
+            )
         if cfg.get("use_spk_id", False):
-            batch["spk_ids"] = np.asarray([s["spk_id"] for s in samples], np.int32)
-        if pad_batch_to:
-            batch = _pad_batch_rows(batch, pad_batch_to)
+            ids = np.zeros(n, np.int32)
+            ids[: len(samples)] = [s["spk_id"] for s in samples]
+            batch["spk_ids"] = ids
         return batch

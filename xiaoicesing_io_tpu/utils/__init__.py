@@ -35,14 +35,31 @@ def build_object_from_class_name(cls_path: str, base_cls=None, *args, **kwargs):
     return cls(*args, **filter_kwargs(kwargs, cls.__init__))
 
 
-def collate_nd(arrays: Sequence[np.ndarray], pad_value=0, max_len: int | None = None) -> np.ndarray:
+def collate_nd(
+    arrays: Sequence[np.ndarray],
+    pad_value=0,
+    max_len: int | None = None,
+    dtype=None,
+    rows: int | None = None,
+) -> np.ndarray:
     """Pad a list of nd-arrays along dim 0 to a common length and stack.
 
-    NumPy equivalent of ``/root/reference/utils/__init__.py:29-38``.
+    NumPy equivalent of ``/root/reference/utils/__init__.py:29-38``, with two
+    host-throughput extensions used by the training collate (the feed thread
+    shares 2 vCPUs with everything else, so avoidable copies starve the TPU):
+    ``dtype`` casts during the single placement write instead of a separate
+    full-array ``astype`` copy, and ``rows`` over-allocates the batch axis so
+    fixed-shape batching needs no second concatenate/pad pass.
     """
     tgt = max(a.shape[0] for a in arrays) if max_len is None else max_len
     arr0 = np.asarray(arrays[0])
-    out = np.full((len(arrays), tgt, *arr0.shape[1:]), pad_value, dtype=arr0.dtype)
+    n = max(len(arrays), rows or 0)
+    shape = (n, tgt, *arr0.shape[1:])
+    dt = np.dtype(dtype) if dtype is not None else arr0.dtype
+    if pad_value == 0:
+        out = np.zeros(shape, dtype=dt)  # calloc: untouched pages stay lazy
+    else:
+        out = np.full(shape, pad_value, dtype=dt)
     for i, a in enumerate(arrays):
         out[i, : a.shape[0]] = a
     return out
