@@ -32,6 +32,37 @@ from .train_state import TrainState
 from .schedules import build_lr_schedule
 
 
+def _narrow_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Host-side wire narrowing: f32 -> f16, i32/i64 -> i16 where the values
+    fit.  Mel magnitudes are ln-compressed (|x| < 20) and index fields are
+    bounded by sequence lengths, so f16/i16 are lossless enough for TRAINING
+    inputs (f16 roundoff ~5e-4 relative); widened back on device by
+    ``_widen_batch``."""
+    out = {}
+    for k, v in batch.items():
+        if v.dtype == np.float32:
+            out[k] = v.astype(np.float16)
+        elif v.dtype in (np.int32, np.int64) and v.size and \
+                abs(int(v.max(initial=0))) < 32000 and int(v.min(initial=0)) > -32000:
+            out[k] = v.astype(np.int16)
+        else:
+            out[k] = v
+    return out
+
+
+def _widen_batch(batch):
+    import jax.numpy as jnp
+
+    def w(x):
+        if x.dtype == jnp.float16:
+            return x.astype(jnp.float32)
+        if x.dtype == jnp.int16:
+            return x.astype(jnp.int32)
+        return x
+
+    return {k: w(v) for k, v in batch.items()}
+
+
 class Trainer:
     def __init__(
         self,
@@ -65,8 +96,19 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data = NamedSharding(self.mesh, P("dp"))
+        # compact feed wire format: train batches cross host->device as
+        # f16/i16 (halves transfer bytes over a slow link) and are widened
+        # back to f32/i32 on device as the first op of the jitted step.
+        # Training-only: validation/eval batches stay full-precision.
+        self.compact_feed = bool(cfg.get("compact_feed", True))
+        if self.compact_feed:
+            def _widened_step(state, batch, key):
+                return train_step(state, _widen_batch(batch), key)
+            step_fn = _widened_step
+        else:
+            step_fn = train_step
         self.train_step = jax.jit(
-            train_step, in_shardings=(repl, data, repl), out_shardings=(repl, repl),
+            step_fn, in_shardings=(repl, data, repl), out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
         self.val_losses_fn = jax.jit(val_losses_fn, in_shardings=(repl, data, repl),
@@ -130,64 +172,72 @@ class Trainer:
         return self.collate(indices, pad_batch_to=b_target)
 
     def _prefetch(self, sampler, depth: Optional[int] = None):
-        """Collate AND device_put batches in a background thread so host-side
+        """Collate AND device_put batches on a small thread pool so host-side
         data prep and host->device transfer overlap device steps (the
         reference overlaps via ``ds_workers`` DataLoader worker processes
-        with ``dataloader_prefetch_factor`` batches in flight each; a single
-        thread suffices here since collate is numpy-bound, and the prefetch
-        window honors the same config key).
+        with ``dataloader_prefetch_factor`` batches in flight each).  One
+        producer thread's serial collate+transfer cycle can exceed the device
+        step on a weak host, so ``dataloader_num_threads`` (default 2) batches
+        are prepared concurrently — collate is numpy memcpy (GIL released)
+        and device_put transfers overlap each other.  Futures are consumed in
+        submission order, so batch order is deterministic regardless of
+        thread completion order.
 
         Yields ``(device_batch, real_frames)`` — the non-padding frame count
         is computed host-side before the transfer.
+
+        Feed-attribution caveat: collate/xfer are summed across concurrent
+        workers (thread-time, not wall); ``starve`` remains the consumer's
+        actual wait.
         """
-        import queue
-        import threading
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         if depth is None:
             depth = max(1, int(self.cfg.get("dataloader_prefetch_factor", 2)))
-        q: "queue.Queue" = queue.Queue(maxsize=depth)
-        stop = object()
-
-        class _Raised:
-            def __init__(self, exc):
-                self.exc = exc
-
+        workers = max(1, int(self.cfg.get("dataloader_num_threads", 2)))
         stats = self._feed_stats
 
-        def producer():
-            try:
-                for indices in sampler:
-                    t0 = time.perf_counter()
-                    batch_np = self._collate_train(indices)
-                    real_frames = (
-                        int((batch_np["mel2ph"] > 0).sum())
-                        if "mel2ph" in batch_np else 0
-                    )
-                    t1 = time.perf_counter()
-                    # dispatch the transfer from the producer: step i's
-                    # compute overlaps batch i+1's host->device copy
-                    dev = shard_batch(batch_np, self.mesh)
-                    t2 = time.perf_counter()
-                    stats["collate_s"] += t1 - t0
-                    stats["dispatch_s"] += t2 - t1
-                    q.put((dev, real_frames))
-                q.put(stop)
-            except BaseException as e:  # surface in the main thread
-                q.put(_Raised(e))
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
+        def produce(indices):
             t0 = time.perf_counter()
-            item = q.get()
-            # time the consumer spent starved of data: the only part of the
-            # feed path NOT hidden behind device compute
-            stats["starve_s"] += time.perf_counter() - t0
-            if item is stop:
-                break
-            if isinstance(item, _Raised):
-                raise item.exc
-            yield item
+            batch_np = self._collate_train(indices)
+            real_frames = (
+                int((batch_np["mel2ph"] > 0).sum())
+                if "mel2ph" in batch_np else 0
+            )
+            t1 = time.perf_counter()
+            if self.compact_feed:
+                batch_np = _narrow_batch(batch_np)
+            # step i's compute overlaps batch i+k's host->device copy
+            dev = shard_batch(batch_np, self.mesh)
+            t2 = time.perf_counter()
+            stats["collate_s"] += t1 - t0
+            stats["dispatch_s"] += t2 - t1
+            return dev, real_frames
+
+        window = max(depth, workers)
+        ex = ThreadPoolExecutor(max_workers=workers)
+        pending: deque = deque()
+        try:
+            for indices in sampler:
+                pending.append(ex.submit(produce, indices))
+                if len(pending) < window:
+                    continue
+                t0 = time.perf_counter()
+                item = pending.popleft().result()
+                # time the consumer spent starved of data: the only part of
+                # the feed path NOT hidden behind device compute
+                stats["starve_s"] += time.perf_counter() - t0
+                yield item
+            while pending:
+                t0 = time.perf_counter()
+                item = pending.popleft().result()
+                stats["starve_s"] += time.perf_counter() - t0
+                yield item
+        finally:
+            for f in pending:
+                f.cancel()
+            ex.shutdown(wait=False)
 
     def _pad_indices(self, indices):
         """The batch dim is sharded over the mesh, so it must be a multiple of
