@@ -32,6 +32,29 @@ from .train_state import TrainState
 from .schedules import build_lr_schedule
 
 
+def _host_rss_mb() -> int:
+    """Current process resident set size in MB (0 if unavailable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS"):
+                    return int(ln.split()[1]) // 1024
+    except OSError:
+        pass
+    return 0
+
+
+def _host_mem_total_mb() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemTotal"):
+                    return int(ln.split()[1]) // 1024
+    except OSError:
+        pass
+    return 0
+
+
 def _narrow_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Host-side wire narrowing: f32 -> f16, i32/i64 -> i16 where the values
     fit.  Mel magnitudes are ln-compressed (|x| < 20) and index fields are
@@ -309,6 +332,19 @@ class Trainer:
         t_log = time.time()
         frames_since_log = 0
         last_validated = -1
+        # host-RSS watchdog: some backend clients (e.g. the tunneled axon
+        # TPU plugin) leak host memory per host->device transfer (~25 MB per
+        # batch measured — docs/PerformanceNotes.md round 3), which OOM-kills
+        # long runs. When RSS crosses the threshold the trainer checkpoints
+        # at a step boundary and re-execs itself in place; resume continues
+        # from that exact step. Default threshold: 70% of MemTotal; set
+        # max_host_rss_mb: 0 to disable.
+        rss_limit = self.cfg.get("max_host_rss_mb", None)
+        if rss_limit is None:
+            rss_limit = int(_host_mem_total_mb() * 0.7)
+        rss_limit = int(rss_limit or 0)
+        steps_this_process = 0
+        restart_requested = False
         # optional jax.profiler capture over the first N steps after (re)start
         # (config: profile_trace_steps; trace lands in <work_dir>/trace)
         trace_steps = int(self.cfg.get("profile_trace_steps", 0) or 0)
@@ -377,6 +413,7 @@ class Trainer:
                         self.writer.add_scalar(
                             "training/audio_s_per_s_per_chip", audio_sps, step
                         )
+                steps_this_process += 1
                 if step % self.val_check_interval == 0:
                     self.validate(step, key)
                     last_validated = step
@@ -385,20 +422,41 @@ class Trainer:
                             jax.device_get(self.state), step,
                             extra_meta={"epoch": epoch},
                         )
+                if (
+                    rss_limit
+                    and step < self.max_updates
+                    and step % self.log_interval == 0
+                    and steps_this_process >= 2 * self.log_interval
+                    and _host_rss_mb() > rss_limit
+                ):
+                    # require some progress first so a too-low threshold
+                    # cannot cause an exec storm
+                    print(
+                        f"| host RSS {_host_rss_mb()} MB > {rss_limit} MB: "
+                        "checkpointing and restarting the process "
+                        "(backend host-memory leak workaround)"
+                    )
+                    restart_requested = True
+                    break
                 if stop_requested["flag"]:
                     break
-            if stop_requested["flag"]:
+            if stop_requested["flag"] or restart_requested:
                 break
             epoch += 1
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
         if trace_stop_at > 0 and self.rank == 0:  # ended before capture window
             jax.profiler.stop_trace()
-        if stop_requested["flag"]:
+        if stop_requested["flag"] or restart_requested:
             if self.rank == 0 and last_validated != step:
                 self.ckpt.save(jax.device_get(self.state), step,
                                extra_meta={"epoch": epoch})
-            print(f"| training preempted at step {step} (checkpoint saved)")
+            if restart_requested:
+                self._exec_restart(step)  # multi-host: returns; see below
+                print(f"| training stopped at step {step} for restart "
+                      "(checkpoint saved) — relaunch to continue")
+            else:
+                print(f"| training preempted at step {step} (checkpoint saved)")
             return
         # final validation + checkpoint (skip if the last step just validated)
         if last_validated != step:
@@ -406,6 +464,34 @@ class Trainer:
             if self.rank == 0:
                 self.ckpt.save(jax.device_get(self.state), step, extra_meta={"epoch": epoch})
         print(f"| training finished at step {step}")
+
+    def _exec_restart(self, step: int):
+        """Replace this process with a fresh invocation of the same command
+        (single-process runs only — a multi-host rank cannot restart alone,
+        so there this is a no-op and the trainer exits preempt-style for the
+        job supervisor to relaunch all ranks)."""
+        if self.num_replicas > 1:
+            return
+        import os
+        import sys
+
+        if self.writer:
+            self.writer.flush()
+        try:  # release the device/tunnel before the new image acquires it
+            jax.clear_backends()
+        except Exception:
+            pass
+        # replay through the canonical CLI module: the scripts/*.py shims
+        # rewrite sys.argv (inserting the subcommand), so re-exec'ing argv[0]
+        # verbatim would double-insert it
+        import xiaoicesing_io_tpu
+
+        pkg_root = str(Path(xiaoicesing_io_tpu.__file__).resolve().parent.parent)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+        argv = [sys.executable, "-m", "xiaoicesing_io_tpu.cli.main"] + sys.argv[1:]
+        print(f"| re-exec at step {step}: {' '.join(argv)}", flush=True)
+        os.execve(sys.executable, argv, env)
 
     def validate(self, step: int, key: jax.Array, sanity: bool = False):
         val_sampler = DistributedBatchSampler(
