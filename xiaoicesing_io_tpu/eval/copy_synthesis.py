@@ -106,6 +106,7 @@ def evaluate_acoustic(
             )
 
         aux_mae = None
+        aux_mcd = None
         if use_shallow:
             kwargs = {}
             if "key_shift" in batch:
@@ -130,6 +131,11 @@ def evaluate_acoustic(
             aux = aux * (jnp.asarray(batch["mel2ph"]) > 0)[:, :, None]
             aux_val = np.asarray(infer.normalizer.denorm(aux[:, None]))
             aux_mae = mel_mae(aux_val[0][mask], gt[0][mask])
+            # aux MCD too: the aux decoder trains on L1 so it is near-optimal
+            # for MAE by construction; spectral distortion is the metric where
+            # the diffusion refinement can actually win (see PerformanceNotes
+            # round 3, diffusion-vs-aux analysis)
+            aux_mcd = mcd(aux_val[0][mask], gt[0][mask])
 
         items.append({
             "name": str(names[i]) if i < len(names) else str(i),
@@ -137,6 +143,7 @@ def evaluate_acoustic(
             "mel_mae": float(mae),
             "mcd_db": float(item_mcd),
             "aux_mae": None if aux_mae is None else float(aux_mae),
+            "aux_mcd_db": None if aux_mcd is None else float(aux_mcd),
             "pesq": None if item_pesq is None else float(item_pesq),
         })
 
@@ -150,6 +157,7 @@ def evaluate_acoustic(
     }
     if use_shallow:
         out["mean_aux_mae"] = float(np.mean([it["aux_mae"] for it in items]))
+        out["mean_aux_mcd_db"] = float(np.mean([it["aux_mcd_db"] for it in items]))
     if with_pesq:
         out["mean_pesq"] = float(np.mean([it["pesq"] for it in items]))
     return out
