@@ -179,12 +179,13 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                 x_src = None
 
             backbone_type = cfg.get("backbone_type")
-            # wavenet kernel default-on; `wavenet_use_pallas: false` opts out
-            # and runs the denoiser through the model's own dtype (fp32 unless
-            # built otherwise). NOTE: the Pallas kernel computes in bf16 —
-            # flipping the default also selects bf16 denoiser compute. The
-            # margin vs a bf16 XLA baseline is re-verified in every bench run
-            # (bench.py wavenet_margin_check; docs/PerformanceNotes.md).
+            # wavenet kernel default-OFF: the round-2 default-on rested on an
+            # fp32-XLA-vs-bf16-Pallas comparison; at matched bf16 the margin
+            # re-measured in every bench run (bench.py wavenet_margin_check)
+            # shows parity-to-loss (round 3: XLA 7.89 vs Pallas 7.98 ms/step),
+            # so XLA is the default and `wavenet_use_pallas: true` opts in.
+            # NOTE: the Pallas kernel computes in bf16 — opting in also
+            # selects bf16 denoiser compute.
             # Mosaic needs lane-aligned channel dims; tiny (test-scale) models
             # fall back to the XLA path
             _nc = cfg.get("backbone_args", {}).get("num_channels", 1024)
@@ -194,7 +195,7 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                     (backbone_type == "lynxnet"
                      and cfg.get("backbone_args", {}).get("activation", "PReLU") == "PReLU")
                     or (backbone_type == "wavenet"
-                        and cfg.get("wavenet_use_pallas", True))
+                        and cfg.get("wavenet_use_pallas", False))
                 )
                 and _nc >= 128 and _nc % 128 == 0
                 and jax.default_backend() != "cpu"  # pallas needs TPU (or interpret)
