@@ -29,8 +29,14 @@ TIMBRE = {
 }
 
 
+def midi_name(m: float) -> str:
+    names = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"]
+    m = int(round(m))
+    return f"{names[m % 12]}{m // 12 - 1}"
+
+
 def synth_item(rng, secs):
-    """Returns (wav, ph_seq list, ph_dur list)."""
+    """Returns (wav, ph_seq list, ph_dur list, note_seq list)."""
     phs, durs = [], []
     t_total = 0.0
     phs.append("SP"); durs.append(round(float(rng.uniform(0.1, 0.3)), 4))
@@ -53,6 +59,7 @@ def synth_item(rng, secs):
     midi = 60.0
     f0 = np.zeros(n)
     voiced_mask = np.zeros(n, bool)
+    notes = []
     pos = 0
     for ph, d in zip(phs, durs):
         ln = int(round(d * SR))
@@ -61,6 +68,9 @@ def synth_item(rng, secs):
             midi = float(np.clip(midi + rng.integers(-4, 5), 52, 72))
             f0[sl] = 440.0 * 2 ** ((midi - 69) / 12)
             voiced_mask[sl] = True
+            notes.append(midi_name(midi))
+        else:
+            notes.append("rest")
         pos += ln
     # portamento: smooth the step curve; vibrato on top
     k = int(0.06 * SR) | 1
@@ -104,7 +114,7 @@ def synth_item(rng, secs):
             seg = 0.001 * rng.standard_normal(len(env))
         wav[sl] += env * seg
         pos += ln
-    return np.clip(wav, -1, 1), phs, durs
+    return np.clip(wav, -1, 1), phs, durs, notes
 
 
 def main():
@@ -113,17 +123,25 @@ def main():
     rng = np.random.default_rng(42)
     wav_dir = root / "raw/synthspk/wavs"
     wav_dir.mkdir(parents=True, exist_ok=True)
-    rows = ["name,ph_seq,ph_dur"]
+    # one CSV serves both binarizers: the acoustic one reads name/ph_seq/
+    # ph_dur and ignores the variance columns (csv.DictReader); the variance
+    # one additionally needs ph_num (one word per phoneme) + note_seq/note_dur
+    # (one note per phoneme, rest for SP/AP — the melody is known exactly)
+    rows = ["name,ph_seq,ph_dur,ph_num,note_seq,note_dur"]
     total = 0.0
     i = 0
     while total < minutes * 60:
         secs = float(rng.uniform(8, 18))
-        wav, phs, durs = synth_item(rng, secs)
+        wav, phs, durs, notes = synth_item(rng, secs)
         name = f"synth{i:04d}"
         with wave.open(str(wav_dir / f"{name}.wav"), "wb") as w:
             w.setnchannels(1); w.setsampwidth(2); w.setframerate(SR)
             w.writeframes((wav * 32767).astype(np.int16).tobytes())
-        rows.append(f"{name},{' '.join(phs)},{' '.join(map(str, durs))}")
+        dur_str = " ".join(map(str, durs))
+        rows.append(
+            f"{name},{' '.join(phs)},{dur_str},"
+            f"{' '.join(['1'] * len(phs))},{' '.join(notes)},{dur_str}"
+        )
         total += len(wav) / SR
         i += 1
     (root / "raw/synthspk/transcriptions.csv").write_text("\n".join(rows) + "\n")
@@ -141,6 +159,23 @@ binarization_args:
 val_check_interval: 2000
 num_valid_plots: 2
 val_with_vocoder: false
+log_interval: 200
+""")
+    (root / "synth_variance.yaml").write_text(f"""
+base_config: [variance.yaml]
+dictionary: {root}/dict.txt
+raw_data_dir: [{root}/raw/synthspk]
+speakers: [synthspk]
+binary_data_dir: {root}/binary_variance
+test_prefixes: [synth0000, synth0001]
+binarization_args:
+  num_workers: 2
+predict_dur: true
+predict_pitch: true
+predict_energy: true
+predict_breathiness: true
+val_check_interval: 2000
+num_valid_plots: 2
 log_interval: 200
 """)
     print(f"| wrote {i} items, {total/60:.1f} min -> {root}")
