@@ -48,7 +48,7 @@ def test_narrow_widen_roundtrip_exact_for_index_fields():
         "big": np.array([[70000]], np.int64),  # does NOT fit i16: untouched
         "uv": np.array([[True, False]]),
     }
-    narrow = _narrow_batch(batch)
+    narrow = _narrow_batch(batch, {})
     assert narrow["tokens"].dtype == np.int16
     assert narrow["mel2ph"].dtype == np.int16
     assert narrow["big"].dtype == np.int64
@@ -58,11 +58,39 @@ def test_narrow_widen_roundtrip_exact_for_index_fields():
     np.testing.assert_array_equal(np.asarray(wide["mel2ph"]), batch["mel2ph"])
 
 
+def test_narrow_plan_pins_dtype_across_batches():
+    # a field near the i16 bound must NOT flip dtype batch to batch (each
+    # flip would trigger a fresh jitted-step compilation); the plan pins the
+    # first decision and only ever PROMOTES to the wide dtype
+    plan = {}
+    b1 = _narrow_batch({"idx": np.array([[100]], np.int32)}, plan)
+    assert b1["idx"].dtype == np.int16
+    # later batch exceeds the bound: promoted to the original wide dtype...
+    b2 = _narrow_batch({"idx": np.array([[40000]], np.int32)}, plan)
+    assert b2["idx"].dtype == np.int32
+    # ...and STAYS wide even when a later batch would fit again (no flip-flop)
+    b3 = _narrow_batch({"idx": np.array([[100]], np.int32)}, plan)
+    assert b3["idx"].dtype == np.int32
+
+
+def test_narrow_float_range_guard():
+    # |values| beyond f16 range must not silently become inf
+    plan = {}
+    big = np.array([[1e5]], np.float32)
+    out = _narrow_batch({"x": big}, plan)
+    assert out["x"].dtype == np.float32 and np.isfinite(out["x"]).all()
+    # promotion path: pinned f16 first, then an out-of-range batch arrives
+    plan2 = {}
+    _narrow_batch({"y": np.array([[1.0]], np.float32)}, plan2)
+    out2 = _narrow_batch({"y": big}, plan2)
+    assert out2["y"].dtype == np.float32 and np.isfinite(out2["y"]).all()
+
+
 def test_narrow_float_roundoff_bounded():
     rng = np.random.default_rng(1)
     mel = rng.uniform(-12, 2, size=(2, 256, 128)).astype(np.float32)
     f0 = rng.uniform(40, 1100, size=(2, 256)).astype(np.float32)
-    n = _narrow_batch({"mel": mel, "f0": f0})
+    n = _narrow_batch({"mel": mel, "f0": f0}, {})
     assert n["mel"].dtype == np.float16
     back = n["mel"].astype(np.float32)
     assert np.max(np.abs(back - mel)) < 6e-3  # f16 abs err at |x|<=12

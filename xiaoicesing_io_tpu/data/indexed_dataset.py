@@ -10,6 +10,7 @@ arrays instead of torch tensors.
 from __future__ import annotations
 
 import pathlib
+import threading
 from collections import deque
 from typing import Dict, Iterable, Optional
 
@@ -25,10 +26,16 @@ class IndexedDataset:
         self.dset = None
         self.cache = deque(maxlen=num_cache)
         self.num_cache = num_cache
+        self._open_lock = threading.Lock()
 
     def _ensure_open(self):
+        # the trainer's prefetch thread pool can race two threads through the
+        # first access; without the lock both would open the file and one
+        # handle would leak (reads themselves are serialized by h5py)
         if self.dset is None:
-            self.dset = h5py.File(self.path, "r")
+            with self._open_lock:
+                if self.dset is None:
+                    self.dset = h5py.File(self.path, "r")
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         self._ensure_open()

@@ -55,21 +55,41 @@ def _host_mem_total_mb() -> int:
     return 0
 
 
-def _narrow_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+def _narrow_batch(batch: Dict[str, np.ndarray], plan: Dict[str, np.dtype]) -> Dict[str, np.ndarray]:
     """Host-side wire narrowing: f32 -> f16, i32/i64 -> i16 where the values
     fit.  Mel magnitudes are ln-compressed (|x| < 20) and index fields are
     bounded by sequence lengths, so f16/i16 are lossless enough for TRAINING
     inputs (f16 roundoff ~5e-4 relative); widened back on device by
-    ``_widen_batch``."""
+    ``_widen_batch``.
+
+    The narrowing decision is pinned PER FIELD in ``plan`` on first sight so
+    a field whose values hover near the i16 bound cannot flip dtype between
+    batches (each flip would be a fresh jitted train_step compilation).  If a
+    later batch no longer fits the pinned narrow dtype the plan is promoted
+    back to the wide dtype — a monotone, at-most-once change per field.  The
+    f32 path gets the same finite-range guard as the int path (f16 overflows
+    silently to inf above 65504)."""
     out = {}
     for k, v in batch.items():
-        if v.dtype == np.float32:
-            out[k] = v.astype(np.float16)
-        elif v.dtype in (np.int32, np.int64) and v.size and \
-                abs(int(v.max(initial=0))) < 32000 and int(v.min(initial=0)) > -32000:
-            out[k] = v.astype(np.int16)
-        else:
-            out[k] = v
+        tgt = plan.get(k)
+        if tgt is None:
+            if v.dtype == np.float32:
+                tgt = np.float16 if (
+                    not v.size or float(np.abs(v).max()) < 60000.0
+                ) else np.float32
+            elif v.dtype in (np.int32, np.int64) and v.size and \
+                    int(v.max()) < 32000 and int(v.min()) > -32000:
+                tgt = np.int16
+            else:
+                tgt = v.dtype
+            plan[k] = tgt
+        elif tgt == np.float16 and v.size and float(np.abs(v).max()) >= 60000.0:
+            tgt = plan[k] = np.float32
+        elif tgt == np.int16 and v.size and not (
+            int(v.max()) < 32000 and int(v.min()) > -32000
+        ):
+            tgt = plan[k] = v.dtype
+        out[k] = v.astype(tgt) if v.dtype != tgt else v
     return out
 
 
@@ -124,6 +144,9 @@ class Trainer:
         # back to f32/i32 on device as the first op of the jitted step.
         # Training-only: validation/eval batches stay full-precision.
         self.compact_feed = bool(cfg.get("compact_feed", True))
+        # per-field wire-dtype plan (see _narrow_batch); shared across the
+        # prefetch threads — dict writes are atomic and changes are monotone
+        self._narrow_plan: Dict[str, np.dtype] = {}
         if self.compact_feed:
             def _widened_step(state, batch, key):
                 return train_step(state, _widen_batch(batch), key)
@@ -230,7 +253,7 @@ class Trainer:
             )
             t1 = time.perf_counter()
             if self.compact_feed:
-                batch_np = _narrow_batch(batch_np)
+                batch_np = _narrow_batch(batch_np, self._narrow_plan)
             # step i's compute overlaps batch i+k's host->device copy
             dev = shard_batch(batch_np, self.mesh)
             t2 = time.perf_counter()
@@ -427,17 +450,31 @@ class Trainer:
                     and step < self.max_updates
                     and step % self.log_interval == 0
                     and steps_this_process >= 2 * self.log_interval
-                    and _host_rss_mb() > rss_limit
                 ):
                     # require some progress first so a too-low threshold
-                    # cannot cause an exec storm
-                    print(
-                        f"| host RSS {_host_rss_mb()} MB > {rss_limit} MB: "
-                        "checkpointing and restarting the process "
-                        "(backend host-memory leak workaround)"
-                    )
-                    restart_requested = True
-                    break
+                    # cannot cause an exec storm.  The RSS is PER-HOST local
+                    # state, but the decision must be GLOBAL: on multi-host
+                    # runs every rank reaches this boundary in lockstep, so
+                    # we allgather an "exceeded" flag — if ANY rank is over
+                    # its limit all ranks break together (no rank left behind
+                    # to deadlock in the next sharded collective) and rank 0
+                    # saves the checkpoint below.
+                    exceeded = _host_rss_mb() > rss_limit
+                    if self.num_replicas > 1:
+                        from jax.experimental import multihost_utils
+
+                        flags = np.asarray(multihost_utils.process_allgather(
+                            np.array([exceeded], np.int32)
+                        ))
+                        exceeded = bool(flags.any())
+                    if exceeded:
+                        print(
+                            f"| host RSS {_host_rss_mb()} MB (limit {rss_limit} MB, "
+                            f"exceeded on >=1 rank): checkpointing and restarting "
+                            "(backend host-memory leak workaround)"
+                        )
+                        restart_requested = True
+                        break
                 if stop_requested["flag"]:
                     break
             if stop_requested["flag"] or restart_requested:
