@@ -403,3 +403,95 @@ def test_resume_restores_epoch(tiny_binary, tmp_path):
     state, step, meta = trainer.ckpt.restore_latest(trainer.state, with_meta=True)
     assert step == 12
     assert meta.get("epoch", 0) > 0
+
+
+def test_rss_watchdog_checkpoint_and_reexec(tiny_binary, tmp_path):
+    """Host-RSS watchdog regression (VERDICT r3 task 3a): with a 1 MB
+    threshold the trainer must checkpoint, re-exec itself in place at least
+    once, and the resumed image must still complete at the expected final
+    step with exit code 0 (the round-3 behavior was only verified manually)."""
+    import os
+    import subprocess
+    import sys
+
+    import yaml as _yaml
+
+    root = tiny_binary
+    cfg = _acoustic_cfg(root, tmp_path / "ckpts" / "rss_test")
+    if not (root / "binary_ac/train.data").exists():
+        from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+        AcousticBinarizer(cfg).process()
+    # log_interval=1: the watchdog checks every step once >=2 steps have run
+    # in this process image, so max_updates=4 yields exactly one re-exec
+    # cycle (trigger at step 2; the resumed image runs 3..4 and finishes —
+    # step 4 is exempt because step < max_updates gates the check)
+    cfg.update(max_updates=4, val_check_interval=100000, log_interval=1,
+               num_sanity_val_steps=0, max_host_rss_mb=1)
+
+    def _plain(x):
+        if isinstance(x, dict):
+            return {k: _plain(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [_plain(v) for v in x]
+        return x
+
+    cfg_path = tmp_path / "rss.yaml"
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(_plain(dict(cfg)), f)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = Path(__file__).parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts/train.py"), "--config", str(cfg_path),
+         "--exp_name", "rss_test", "--work_dir", str(tmp_path / "ckpts")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=str(tmp_path), timeout=600,
+    )
+    out = proc.stdout
+    assert proc.returncode == 0, out[-3000:]
+    assert out.count("| re-exec at step") >= 1, out[-3000:]
+    assert "| resumed from step" in out, out[-3000:]
+    assert "| training finished at step 4" in out, out[-3000:]
+    from xiaoicesing_io_tpu.training.checkpoint import list_checkpoints
+
+    steps = [int(p.name.rsplit("_", 1)[-1])
+             for p in list_checkpoints(tmp_path / "ckpts" / "rss_test")]
+    assert 4 in steps, steps
+
+
+def test_compact_feed_loss_parity(tiny_binary, tmp_path):
+    """Compact-feed regression (VERDICT r3 task 3b): the f16/i16 wire format
+    must reproduce the fp32-feed per-step loss trajectory within the
+    documented tolerance (round 3 claimed 4-decimal agreement from a one-off
+    manual run; this enforces it)."""
+    root = tiny_binary
+    if not (root / "binary_ac/train.data").exists():
+        from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import AcousticBinarizer
+
+        AcousticBinarizer(_acoustic_cfg(root, tmp_path / "unused")).process()
+
+    from xiaoicesing_io_tpu.training.tasks import build_acoustic_trainer
+
+    def run(compact, work_dir):
+        cfg = _acoustic_cfg(root, work_dir)
+        cfg.update(max_updates=4, val_check_interval=100000, log_interval=1,
+                   num_sanity_val_steps=0, compact_feed=compact)
+        trainer = build_acoustic_trainer(cfg)
+        records = []
+        orig = trainer.train_step
+
+        def recording_step(state, batch, key):
+            state, metrics = orig(state, batch, key)
+            records.append({k: float(v) for k, v in metrics.items()})
+            return state, metrics
+
+        trainer.train_step = recording_step
+        trainer.fit()
+        return records
+
+    wide = run(False, tmp_path / "exp_wide")
+    compact = run(True, tmp_path / "exp_compact")
+    assert len(wide) == len(compact) >= 4
+    diffs = [abs(w["total_loss"] - c["total_loss"])
+             for w, c in zip(wide, compact)]
+    assert max(diffs) < 1e-3, (diffs, wide, compact)
