@@ -33,8 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 # Defaults chosen by the round-3 shape sweep (docs/PerformanceNotes.md):
-# audio-s/s/chip is a throughput metric, and the K=50 sampler runs at <50%
-# MFU at B=4 — larger batches amortize better.
+# B=4 x T=2048 is the measured sweet spot — the sweep found batch scaling
+# NEGATIVE beyond it (B=8 x T=4096 collapses on HBM), so larger batches do
+# NOT amortize better for this denoiser size.
 B = 4
 T_F = 2048  # frames per segment (~23.8 s audio at hop 512 / 44.1 kHz)
 K = 50  # denoiser steps
@@ -125,12 +126,18 @@ def main(B=B, T_F=T_F, K=K, wavenet_check=True):
     t_start = cfg.get("T_start_infer", 0.4)
 
     # params must be jit ARGUMENTS (closing over them would bake every weight
-    # into the HLO as inline constants — a ~600 MB program)
-    def synthesize(params, tokens, mel2ph, f0, key):
+    # into the HLO as inline constants — a ~600 MB program).  The pipeline is
+    # split into named stages so the bench can attribute the headline number
+    # (VERDICT r3 task 4: session-to-session drift must be assignable to
+    # encoder/sampler/vocoder); the HEADLINE still times the single fused
+    # jit so no cross-stage fusion is lost to the diagnostic split.
+    def cond_aux_fn(params, tokens, mel2ph, f0):
         cond = model.apply(params, tokens, mel2ph, f0, method=AcousticModel.condition)
         aux = model.apply(params, cond, method=AcousticModel.aux_out)
         aux = aux * (mel2ph > 0)[:, :, None]
+        return cond, aux
 
+    def sample_fn(params, cond, aux, mel2ph, key):
         if USE_PALLAS:
             from xiaoicesing_io_tpu.models.backbones.lynx_pallas import (
                 lynx_cond_projections,
@@ -164,6 +171,10 @@ def main(B=B, T_F=T_F, K=K, wavenet_check=True):
         )
         mel = normalizer.denorm(x)
         return mel * (mel2ph > 0)[:, :, None]
+
+    def synthesize(params, tokens, mel2ph, f0, key):
+        cond, aux = cond_aux_fn(params, tokens, mel2ph, f0)
+        return sample_fn(params, cond, aux, mel2ph, key)
 
     # vocoder: time-folded NSF-HiFiGAN (random weights — identical compute
     # cost to trained ones)
@@ -200,6 +211,42 @@ def main(B=B, T_F=T_F, K=K, wavenet_check=True):
         wav = fast_voc(mel, f0)
     np.asarray(wav.ravel()[:1])
     elapsed = (time.perf_counter() - start) / iters
+
+    # -- per-stage attribution (diagnostics; printed before the headline) ---
+    # each stage is timed as its own jit on the same inputs; `residual` is
+    # headline_total - sum(stages): jit-boundary/dispatch overhead plus any
+    # fusion the split loses.  A drifting headline now names its stage.
+    try:
+        j_cond = jax.jit(cond_aux_fn)
+        j_sample = jax.jit(sample_fn)
+        cond_d, aux_d = j_cond(params, tokens, mel2ph, f0)
+        t_cond = _time_enqueued(lambda: j_cond(params, tokens, mel2ph, f0), iters=20)
+        t_sampler = _time_enqueued(
+            lambda: j_sample(params, cond_d, aux_d, mel2ph, key), iters=10)
+        t_voc = _time_enqueued(lambda: fast_voc(mel, f0), iters=10)
+        sampler_flops = None
+        try:
+            ca = j_sample.lower(params, cond_d, aux_d, mel2ph, key).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            sampler_flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        # v5e (TPU v5 lite) peak ~197 TFLOP/s bf16 — MFU is indicative only
+        mfu = (sampler_flops / t_sampler / 197e12) if sampler_flops else None
+        print(json.dumps({
+            "metric": "stage_breakdown_ms",
+            "cond_aux": round(t_cond * 1e3, 2),
+            "sampler": round(t_sampler * 1e3, 2),
+            "sampler_ms_per_step": round(t_sampler * 1e3 / K, 3),
+            "vocoder": round(t_voc * 1e3, 2),
+            "stage_sum": round((t_cond + t_sampler + t_voc) * 1e3, 2),
+            "headline_total": round(elapsed * 1e3, 2),
+            "residual": round((elapsed - t_cond - t_sampler - t_voc) * 1e3, 2),
+            "sampler_mfu_bf16_v5e": round(mfu, 3) if mfu else None,
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001 - diagnostic must not kill the bench
+        print(json.dumps({"metric": "stage_breakdown_ms", "error": str(e)}),
+              flush=True)
 
     if wavenet_check:
         # margin diagnostic FIRST so the headline stays the last JSON line
