@@ -420,3 +420,95 @@ def test_merged_reflow_depth_zero_returns_aux(tiny_acoustic):
     _, aux = fs2_aux(tokens, mel2ph, f0)
     ref = np.asarray(normalizer.denorm(jnp.asarray(aux)[:, None]))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# graph passes: loop-invariant hoisting (ref: utils/onnx_helper.py:154
+# conditioner-projection extraction) + constant fold / DCE (ref onnxsim use,
+# acoustic_exporter.py:333-361)
+# ---------------------------------------------------------------------------
+
+def test_fold_constants_and_dce_unit():
+    from xiaoicesing_io_tpu.deployment.graph_passes import (
+        eliminate_dead, fold_constants,
+    )
+    from xiaoicesing_io_tpu.deployment.onnx_proto import (
+        FLOAT, Graph, Node, Tensor,
+    )
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_graph
+
+    nodes = [
+        Node("Add", ["a", "b"], ["c"], {}, name="add"),        # const-only
+        Node("Mul", ["x", "c"], ["y"], {}, name="mul"),        # live
+        Node("Sub", ["x", "c"], ["dead"], {}, name="deadsub"),  # dead
+    ]
+    g = Graph(
+        "t", nodes, [("x", FLOAT, [2])], [("y", FLOAT, [2])],
+        [Tensor("a", np.array([1.0, 2.0], np.float32)),
+         Tensor("b", np.array([3.0, 4.0], np.float32))],
+    )
+    x = np.array([2.0, 3.0], np.float32)
+    ref = run_graph(g, {"x": x})["y"]
+
+    g2, n_folded = fold_constants(g)
+    assert n_folded == 1
+    assert not any(n.op_type == "Add" for n in g2.nodes)
+    g3, n_removed = eliminate_dead(g2)
+    # deadsub + the now-unused a/b initializers go away
+    assert n_removed >= 3
+    assert [n.op_type for n in g3.nodes] == ["Mul"]
+    np.testing.assert_allclose(run_graph(g3, {"x": x})["y"], ref)
+
+
+def test_loop_invariant_hoist_reduces_body_and_preserves_outputs(tiny_acoustic):
+    """The conditioner projections (cond-only subgraphs of the denoiser) must
+    leave the Loop body — the exported artifact then computes them ONCE, not
+    once per sampling step (ref: acoustic_exporter.py:333-361,
+    graph_extract_conditioner_projections) — with outputs unchanged at
+    K=10."""
+    from xiaoicesing_io_tpu.deployment.onnx_loop import build_reflow_graph
+    from xiaoicesing_io_tpu.deployment.onnx_proto import build_model
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_graph
+    from xiaoicesing_io_tpu.models.toplevel import AcousticModel
+    from xiaoicesing_io_tpu.training.acoustic import build_acoustic
+
+    cfg, model, params, (_, _, _, M) = tiny_acoustic
+    _, core, normalizer = build_acoustic(cfg, 12)
+    B, T_f, H = 1, 64, cfg["hidden_size"]
+    shape = (B, 1, T_f, M)
+
+    def den(x, t, c):
+        return model.apply(params, x, t, c, method=AcousticModel.denoise)
+
+    kw = dict(
+        spec_min=np.asarray(normalizer.spec_min)[:, 0],
+        spec_max=np.asarray(normalizer.spec_max)[:, 0],
+        t_start_cfg=core.t_start, time_scale_factor=core.time_scale_factor,
+        shallow=True,
+    )
+    g_raw = build_reflow_graph(den, shape, (B, T_f, H), optimize=False, **kw)
+    g_opt = build_reflow_graph(den, shape, (B, T_f, H), optimize=True, **kw)
+
+    def body(g):
+        return next(n for n in g.nodes if n.op_type == "Loop").attrs["body"]
+
+    def heavy(b):
+        return sum(1 for n in b.nodes if n.op_type in ("MatMul", "Conv", "Gemm"))
+
+    assert len(body(g_opt).nodes) < len(body(g_raw).nodes)
+    assert heavy(body(g_opt)) < heavy(body(g_raw)), (
+        "no cond-only matmul/conv left the loop body"
+    )
+
+    rng = np.random.default_rng(0)
+    feeds = {
+        "condition": rng.standard_normal((B, T_f, H)).astype(np.float32),
+        "x_aux": rng.standard_normal((B, T_f, M)).astype(np.float32),
+        "depth": np.asarray(0.7, np.float32),
+        "steps": np.asarray(10, np.int64),
+    }
+    # serialize both (hoisted bodies reference outer initializers through
+    # outer-scope capture — the wire format must carry that)
+    out_raw = run_model_bytes(build_model(g_raw), feeds)["mel"]
+    out_opt = run_model_bytes(build_model(g_opt), feeds)["mel"]
+    np.testing.assert_allclose(out_opt, out_raw, atol=1e-5, rtol=1e-5)

@@ -219,6 +219,9 @@ def _export_merged_acoustic(cfg, model, core, normalizer, params, fs2_aux,
     if shallow:
         io_map.append(("aux_mel", "x_aux"))
     merged = merge_graphs(fs2_graph, diff_graph, io_map, "acoustic")
+    from .graph_passes import simplify_graph
+
+    merged = simplify_graph(merged, verbose=True)
     data = build_model(merged)
     path = out / "acoustic.onnx"
     path.write_bytes(data)
@@ -261,6 +264,9 @@ def _export_merged_predictor(core, out: Path, *, name, pre_fn, pre_args,
             den_fn, shape, cond_shape, t_start_cfg=0.0,
             time_scale_factor=core.time_scale_factor, **kw)
     merged = merge_graphs(pre_g, dg, [(cond_out, f"{name}_cond_in")], name)
+    from .graph_passes import simplify_graph
+
+    merged = simplify_graph(merged, verbose=True)
     data = build_model(merged)
     path = out / f"{name}.onnx"
     path.write_bytes(data)

@@ -671,17 +671,24 @@ def export_onnx(
     output_names: Optional[Sequence[str]] = None,
     graph_name: str = "graph",
     opset: int = 17,
+    optimize: bool = True,
 ) -> bytes:
     """Trace ``fn(*example_args)`` and write an ONNX model to ``path``.
 
     Shapes are taken from the example args (static graphs, like the
     reference's fixed-axis exports with dynamic batch disabled).
+    ``optimize`` runs the constant-fold / dead-value passes before writing
+    (the reference runs onnxsim on every artifact, acoustic_exporter.py:336).
     Returns the serialized model bytes.
     """
     g = trace_to_graph(
         fn, example_args, input_names=input_names, output_names=output_names,
         graph_name=graph_name,
     )
+    if optimize:
+        from .graph_passes import simplify_graph
+
+        g = simplify_graph(g)
     data = build_model(g, opset=opset)
     if path is not None:
         from pathlib import Path

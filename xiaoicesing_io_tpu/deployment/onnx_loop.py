@@ -145,6 +145,7 @@ def build_reflow_graph(
     clamps=None,
     out_names: Sequence[str] = ("mel",),
     cond_name: str = "condition",
+    optimize: bool = True,
 ) -> Graph:
     """Rectified-flow sampler as ONE graph with an embedded Euler Loop.
 
@@ -226,7 +227,12 @@ def build_reflow_graph(
     x_final = g.node("Loop", ["steps", cond_true, x0], body=body)
 
     outputs = _emit_post(g, x_final, shape, k, b, post, clamps, out_names)
-    return Graph(graph_name, g.nodes, inputs, outputs, g.initializers)
+    graph = Graph(graph_name, g.nodes, inputs, outputs, g.initializers)
+    if optimize:
+        from .graph_passes import simplify_graph
+
+        graph = simplify_graph(graph)
+    return graph
 
 
 def build_ddpm_graph(
@@ -246,6 +252,7 @@ def build_ddpm_graph(
     clamps=None,
     out_names: Sequence[str] = ("mel",),
     cond_name: str = "condition",
+    optimize: bool = True,
 ) -> Graph:
     """DDPM/DDIM sampler as ONE graph with an embedded Loop.
 
@@ -343,7 +350,12 @@ def build_ddpm_graph(
     x_final = g.node("Loop", [n_iters, cond_true, x0], body=body)
 
     outputs = _emit_post(g, x_final, shape, k, b, post, clamps, out_names)
-    return Graph(graph_name, g.nodes, inputs, outputs, g.initializers)
+    graph = Graph(graph_name, g.nodes, inputs, outputs, g.initializers)
+    if optimize:
+        from .graph_passes import simplify_graph
+
+        graph = simplify_graph(graph)
+    return graph
 
 
 def merge_graphs(
