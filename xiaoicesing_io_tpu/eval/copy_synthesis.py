@@ -139,6 +139,7 @@ def evaluate_acoustic(
 
         items.append({
             "name": str(names[i]) if i < len(names) else str(i),
+            "spk_id": int(np.asarray(b["spk_ids"]).ravel()[0]) if "spk_ids" in b else None,
             "frames": int(mask.sum()),
             "mel_mae": float(mae),
             "mcd_db": float(item_mcd),
@@ -160,6 +161,30 @@ def evaluate_acoustic(
         out["mean_aux_mcd_db"] = float(np.mean([it["aux_mcd_db"] for it in items]))
     if with_pesq:
         out["mean_pesq"] = float(np.mean([it["pesq"] for it in items]))
+    # per-speaker breakdown (multi-speaker runs: BASELINE config 4 demands
+    # per-speaker held-out numbers, ref spk map: basics/base_binarizer.py:74-93)
+    if any(it["spk_id"] is not None for it in items):
+        import json as _json
+
+        spk_names = {}
+        spk_map_path = Path(cfg["binary_data_dir"]) / "spk_map.json"
+        if spk_map_path.exists():
+            spk_names = {v: k for k, v in
+                         _json.loads(spk_map_path.read_text()).items()}
+        per_spk = {}
+        for it in items:
+            per_spk.setdefault(it["spk_id"], []).append(it)
+        out["per_speaker"] = {
+            str(spk_names.get(sid, sid)): {
+                "n_items": len(group),
+                "mean_mel_mae": float(np.mean([g["mel_mae"] for g in group])),
+                "mean_mcd_db": float(np.mean([g["mcd_db"] for g in group])),
+                **({"mean_aux_mae": float(np.mean([g["aux_mae"] for g in group])),
+                    "mean_aux_mcd_db": float(np.mean([g["aux_mcd_db"] for g in group]))}
+                   if use_shallow else {}),
+            }
+            for sid, group in sorted(per_spk.items())
+        }
     return out
 
 
