@@ -39,11 +39,21 @@ def cli():
     # (e.g. tunneled TPU backends): the config path always works
     import os
 
+    import jax
+
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
-        import jax
-
         jax.config.update("jax_platforms", plat)
+    # persistent XLA compile cache: remote/tunneled compilers take 30 s -
+    # 10 min per program, and the RSS-watchdog re-exec path re-pays every
+    # bucket-shape compile on each restart without it (PerformanceNotes).
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"),
+    )
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @cli.command(help="Train a model (acoustic or variance)")
