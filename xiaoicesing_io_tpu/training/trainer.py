@@ -214,7 +214,15 @@ class Trainer:
         b_target = max(len(indices), budget // max(t_pad, 1))
         b_target = min(b_target, int(self.cfg.get("max_batch_size", 64)))
         b_target = max(b_target, len(indices))
-        b_target = _round_up(b_target, self.n_local)
+        # Round the row count up to a multiple of 8 (and the local device
+        # count): when the sampler packs MORE items than budget//t_pad the
+        # row count otherwise jitters per batch AND per epoch (e.g. 54/55,
+        # 42/43 rows measured on a diverse-length corpus), making every
+        # batch a fresh XLA program — ~14 shape classes instead of 8, each
+        # a 30s-10min remote compile on a tunneled backend. Rounding costs
+        # <=7 zero rows (masked, no loss/audio-s contribution) and collapses
+        # the per-bucket row variants to one.
+        b_target = _round_up(b_target, max(8, self.n_local))
         return self.collate(indices, pad_batch_to=b_target)
 
     def _prefetch(self, sampler, depth: Optional[int] = None):
