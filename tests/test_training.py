@@ -495,3 +495,43 @@ def test_compact_feed_loss_parity(tiny_binary, tmp_path):
     diffs = [abs(w["total_loss"] - c["total_loss"])
              for w, c in zip(wide, compact)]
     assert max(diffs) < 1e-3, (diffs, wide, compact)
+
+
+def test_fixed_batch_rows_bounds_shape_classes():
+    """fixed_batch_rows must yield a SMALL, epoch-stable set of (t_pad, rows)
+    shape classes: on a remote/tunneled compiler every distinct train-batch
+    shape is a 30s-10min XLA compile, and before the multiple-of-8 rounding a
+    diverse-length corpus produced 22 classes over 12 epochs (rows jittering
+    54/55, 42/43...) vs 8 frame buckets."""
+    from xiaoicesing_io_tpu.data.dataset import FRAME_BUCKET, _round_up
+    from xiaoicesing_io_tpu.data.sampler import DistributedBatchSampler
+    from xiaoicesing_io_tpu.training.trainer import fixed_batch_rows
+
+    rng = np.random.default_rng(7)
+    sizes = rng.integers(650, 1600, size=800)  # ~8-18s items at hop 512
+
+    class _DS:
+        def __init__(self):
+            self.sizes = sizes
+
+        def __len__(self):
+            return len(sizes)
+
+        def num_frames(self, i):
+            return int(sizes[i])
+
+    budget, mbs = 50000, 64
+    shapes = set()
+    for epoch in range(12):
+        sampler = DistributedBatchSampler(_DS(), budget, mbs, seed=epoch)
+        for batch in sampler:
+            t_pad = _round_up(int(max(sizes[i] for i in batch)), FRAME_BUCKET)
+            rows = fixed_batch_rows(len(batch), t_pad, budget, mbs, n_local=1)
+            assert rows >= len(batch)
+            assert rows % 8 == 0
+            # <=7 zero rows on top of the clamped frame-budget target
+            assert rows <= min(max(len(batch), budget // t_pad), mbs) + 7
+            shapes.add((t_pad, rows))
+    n_buckets = len({s[0] for s in shapes})
+    # at most ~2 row variants per frame bucket, not one-per-batch jitter
+    assert len(shapes) <= 2 * n_buckets, sorted(shapes)

@@ -93,6 +93,27 @@ def _narrow_batch(batch: Dict[str, np.ndarray], plan: Dict[str, np.dtype]) -> Di
     return out
 
 
+def fixed_batch_rows(n_items: int, t_pad: int, max_batch_frames: int,
+                     max_batch_size: int, n_local: int) -> int:
+    """Row count for a fixed-shape train batch: budget // t_pad (clamped to
+    ``max_batch_size``, never below ``n_items``), rounded UP to a multiple of
+    max(8, n_local).
+
+    Without the rounding, the sampler packing MORE items than budget//t_pad
+    makes the row count jitter per batch AND per epoch (54/55, 42/43 rows
+    measured on a diverse-length corpus) — every variant is a fresh XLA
+    program at 30s-10min per remote compile on a tunneled backend (22 shape
+    classes measured vs 8 frame buckets). Rounding costs <=7 zero rows
+    (masked: no loss or audio-seconds contribution) and collapses each
+    bucket's row variants to at most two.
+    """
+    rows = max(n_items, max_batch_frames // max(t_pad, 1))
+    rows = min(rows, max_batch_size)
+    rows = max(rows, n_items)
+    mult = max(8, n_local)
+    return -(-rows // mult) * mult
+
+
 def _widen_batch(batch):
     import jax.numpy as jnp
 
@@ -210,19 +231,12 @@ class Trainer:
 
         frames = max(ds.num_frames(i) for i in indices)
         t_pad = _round_up(int(frames), FRAME_BUCKET)
-        budget = int(self.cfg.get("max_batch_frames", 50000))
-        b_target = max(len(indices), budget // max(t_pad, 1))
-        b_target = min(b_target, int(self.cfg.get("max_batch_size", 64)))
-        b_target = max(b_target, len(indices))
-        # Round the row count up to a multiple of 8 (and the local device
-        # count): when the sampler packs MORE items than budget//t_pad the
-        # row count otherwise jitters per batch AND per epoch (e.g. 54/55,
-        # 42/43 rows measured on a diverse-length corpus), making every
-        # batch a fresh XLA program — ~14 shape classes instead of 8, each
-        # a 30s-10min remote compile on a tunneled backend. Rounding costs
-        # <=7 zero rows (masked, no loss/audio-s contribution) and collapses
-        # the per-bucket row variants to one.
-        b_target = _round_up(b_target, max(8, self.n_local))
+        b_target = fixed_batch_rows(
+            len(indices), t_pad,
+            int(self.cfg.get("max_batch_frames", 50000)),
+            int(self.cfg.get("max_batch_size", 64)),
+            self.n_local,
+        )
         return self.collate(indices, pad_batch_to=b_target)
 
     def _prefetch(self, sampler, depth: Optional[int] = None):
