@@ -120,7 +120,8 @@ def eval_cmd(exp, dataset, limit, seed, json_path, with_pesq, ckpt_steps):
     if "variance" in str(cfg.get("task_cls", "")).lower():
         from ..eval.copy_synthesis import evaluate_variance
 
-        report = evaluate_variance(cfg, dataset=dataset, limit=limit)
+        report = evaluate_variance(cfg, dataset=dataset, limit=limit,
+                                   ckpt_steps=ckpt_steps)
         metrics = " ".join(
             f"{k}={report[k]:.4f}"
             for k in ("rhythm_corr", "ph_dur_acc", "pitch_acc") if k in report

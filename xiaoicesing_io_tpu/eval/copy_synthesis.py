@@ -190,6 +190,7 @@ def evaluate_acoustic(
 
 def evaluate_variance(
     cfg, dataset: str = "valid", limit: Optional[int] = None,
+    ckpt_steps: Optional[int] = None,
 ) -> Dict:
     """Objective metrics of a trained variance model over a binarized set —
     the same metrics the reference computes at validation
@@ -223,7 +224,8 @@ def evaluate_variance(
     enc = TokenTextEncoder(phdict.phoneme_list)
     ds = VarianceDataset(cfg["binary_data_dir"], dataset, cfg)
     model, core, normalizers = build_variance(cfg, enc.vocab_size)
-    params = load_params_for_inference(cfg["work_dir"], cfg)
+    params = load_params_for_inference(cfg["work_dir"], cfg,
+                                       ckpt_steps=ckpt_steps)
 
     n = len(ds) if limit is None else min(limit, len(ds))
     if n <= 0:
@@ -254,7 +256,8 @@ def evaluate_variance(
             voiced = (np.asarray(b["mel2ph"]) > 0) & ~np.asarray(b["uv"])
             pitch_acc.update(np.asarray(pred_pitch), b["pitch"], mask=voiced)
     out = {
-        "step": _checkpoint_step(cfg["work_dir"]),
+        "step": (int(ckpt_steps) if ckpt_steps is not None
+                 else _checkpoint_step(cfg["work_dir"])),
         "dataset": dataset,
         "items_evaluated": n,
     }
