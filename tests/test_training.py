@@ -535,3 +535,42 @@ def test_fixed_batch_rows_bounds_shape_classes():
     n_buckets = len({s[0] for s in shapes})
     # at most ~2 row variants per frame bucket, not one-per-batch jitter
     assert len(shapes) <= 2 * n_buckets, sorted(shapes)
+
+
+def test_stall_guard_reexecs_on_stale_heartbeat():
+    """The stall watchdog must re-exec (save=False: the main thread may be
+    wedged inside a backend call) once the heartbeat is stale, and must NOT
+    fire while steps keep completing."""
+    import time as _time
+
+    from xiaoicesing_io_tpu.training.trainer import _stall_guard_loop
+
+    class _Stub:
+        def __init__(self):
+            self._heartbeat = _time.time()
+            self.calls = []
+
+        def _exec_restart(self, step, save=True):
+            self.calls.append(save)
+            raise SystemExit  # stop the loop in the test
+
+    # fresh heartbeat: one poll passes without firing
+    t = _Stub()
+    t._heartbeat = _time.time() + 3600  # never stale during this test
+    import threading
+
+    th = threading.Thread(
+        target=_stall_guard_loop, args=(t, 1e-9, 0.01), daemon=True
+    )
+    th.start()
+    _time.sleep(0.1)
+    assert t.calls == []
+
+    # stale heartbeat: fires with save=False
+    t2 = _Stub()
+    t2._heartbeat = _time.time() - 120
+    try:
+        _stall_guard_loop(t2, stall_min=1.0, poll_s=0.01)
+    except SystemExit:
+        pass
+    assert t2.calls == [False]

@@ -114,6 +114,21 @@ def fixed_batch_rows(n_items: int, t_pad: int, max_batch_frames: int,
     return -(-rows // mult) * mult
 
 
+def _stall_guard_loop(trainer, stall_min: float, poll_s: float = 15.0):
+    """Body of the stall-watchdog daemon thread: re-exec the trainer when
+    no train/val step completed for ``stall_min`` minutes (see fit())."""
+    while True:
+        time.sleep(poll_s)
+        stale = time.time() - trainer._heartbeat
+        if stale > stall_min * 60:
+            print(
+                f"| stall watchdog: no step completed for {stale/60:.1f} min "
+                f"(> {stall_min:g}) — re-exec and resume from the last "
+                "checkpoint", flush=True,
+            )
+            trainer._exec_restart(-1, save=False)
+
+
 def _widen_batch(batch):
     import jax.numpy as jnp
 
@@ -388,6 +403,24 @@ class Trainer:
         if rss_limit is None:
             rss_limit = int(_host_mem_total_mb() * 0.7)
         rss_limit = int(rss_limit or 0)
+        # stall watchdog: a wedged tunnel RPC blocks the MAIN thread
+        # indefinitely (observed on the axon backend: a dispatch never
+        # returned, 0 CPU, RSS frozen), where neither the RSS watchdog nor
+        # SIGTERM's step-boundary checkpoint can run. A daemon thread
+        # re-execs the trainer in place when no train/val step has completed
+        # for stall_restart_minutes (resume loses at most
+        # val_check_interval steps; compiles via the persistent cache make
+        # the restart cheap). Off by default: first-epoch remote compiles
+        # legitimately take up to ~10 min per program.
+        stall_min = float(self.cfg.get("stall_restart_minutes", 0) or 0)
+        self._heartbeat = time.time()
+        if stall_min > 0 and self.num_replicas == 1:
+            import threading
+
+            threading.Thread(
+                target=_stall_guard_loop, args=(self, stall_min),
+                daemon=True, name="stall-watchdog",
+            ).start()
         steps_this_process = 0
         restart_requested = False
         # optional jax.profiler capture over the first N steps after (re)start
@@ -408,6 +441,7 @@ class Trainer:
                 frames_since_log += real_frames
                 key, sub = jax.random.split(key)
                 self.state, metrics = self.train_step(self.state, batch, sub)
+                self._heartbeat = time.time()
                 micro += 1
                 if micro % self.accum != 0:
                     continue  # mid-accumulation: no optimizer step happened
@@ -524,22 +558,28 @@ class Trainer:
                 self.ckpt.save(jax.device_get(self.state), step, extra_meta={"epoch": epoch})
         print(f"| training finished at step {step}")
 
-    def _exec_restart(self, step: int):
+    def _exec_restart(self, step: int, save: bool = True):
         """Replace this process with a fresh invocation of the same command
         (single-process runs only — a multi-host rank cannot restart alone,
         so there this is a no-op and the trainer exits preempt-style for the
-        job supervisor to relaunch all ranks)."""
+        job supervisor to relaunch all ranks).
+
+        ``save=False`` is the stall-watchdog path: the main thread is wedged
+        in a backend call, so flushing/clearing the backend from this thread
+        could wedge too — exec the fresh image directly and resume from the
+        last checkpoint."""
         if self.num_replicas > 1:
             return
         import os
         import sys
 
-        if self.writer:
-            self.writer.flush()
-        try:  # release the device/tunnel before the new image acquires it
-            jax.clear_backends()
-        except Exception:
-            pass
+        if save:
+            if self.writer:
+                self.writer.flush()
+            try:  # release the device/tunnel before the new image acquires it
+                jax.clear_backends()
+            except Exception:
+                pass
         # replay through the canonical CLI module: the scripts/*.py shims
         # rewrite sys.argv (inserting the subcommand), so re-exec'ing argv[0]
         # verbatim would double-insert it
@@ -574,6 +614,7 @@ class Trainer:
             batch = shard_batch(batch_np, self.mesh)
             key, sub = jax.random.split(key)
             out = self.val_losses_fn(self.state.params, batch, sub)
+            self._heartbeat = time.time()
             bs = len(indices)
             for k, v in out.items():
                 totals[k] = totals.get(k, 0.0) + float(v) * bs
