@@ -29,7 +29,8 @@ def _infer(ds: str, exp: str, spk: str, out_dir: Path, title: str):
     subprocess.run(cmd, check=True, cwd=REPO)
     path = out_dir / f"{title}.mel.npz"
     with np.load(path) as z:
-        return np.asarray(z[z.files[0]], np.float64)
+        mels = [k for k in z.files if k.endswith("_mel")]
+        return np.asarray(z[mels[0]], np.float64)
 
 
 def main():
