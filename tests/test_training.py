@@ -574,3 +574,66 @@ def test_stall_guard_reexecs_on_stale_heartbeat():
     except SystemExit:
         pass
     assert t2.calls == [False]
+
+
+def test_variance_multispeaker_eval(tiny_binary, tmp_path):
+    """Multi-speaker variance: encode() needs spk_id in every sampling path
+    (trainer validation extras, offline eval) — round 4 regression: all three
+    call sites omitted it and crashed with 'NoneType has no dtype' on any
+    use_spk_id corpus."""
+    import shutil
+
+    root = tiny_binary
+    two = tmp_path / "two_spk_var"
+    for spk, items in (("alice", (0, 1)), ("bob", (2, 3))):
+        d = two / spk / "wavs"
+        d.mkdir(parents=True)
+        lines = (root / "raw/transcriptions.csv").read_text().splitlines()
+        keep = [lines[0]] + [l for l in lines[1:] if int(l.split(",")[0][4:]) in items]
+        (two / spk / "transcriptions.csv").write_text("\n".join(keep) + "\n")
+        for i in items:
+            shutil.copy(root / f"raw/wavs/item{i}.wav", d / f"item{i}.wav")
+
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/variance.yaml"
+    )
+    cfg.update(
+        raw_data_dir=[str(two / "alice"), str(two / "bob")],
+        binary_data_dir=str(tmp_path / "binary_var_ms"),
+        dictionary=str(root / "dictionary.txt"),
+        speakers=["alice", "bob"], use_spk_id=True, num_spk=2,
+        test_prefixes=["item0"], work_dir=str(tmp_path / "exp_var_ms"),
+        enc_layers=1, max_updates=2, log_interval=1, val_check_interval=2,
+        max_batch_frames=2000, max_batch_size=4, precision="fp32",
+        predict_dur=True, predict_pitch=True, num_valid_plots=1,
+    )
+    cfg["dur_prediction_args"].update(hidden_size=32, num_layers=1)
+    cfg["pitch_prediction_args"].update(repeat_bins=8)
+    cfg["pitch_prediction_args"]["backbone_args"].update(num_layers=2, num_channels=16)
+
+    from xiaoicesing_io_tpu.preprocessing.variance_binarizer import VarianceBinarizer
+
+    VarianceBinarizer(cfg).process()
+
+    from xiaoicesing_io_tpu.training.tasks import build_variance_trainer
+
+    trainer = build_variance_trainer(cfg)
+    extras_errors = []
+    orig = trainer.on_validation_extras
+
+    def checked_extras(tr, step, key):
+        try:
+            orig(tr, step, key)
+        except Exception as e:  # the trainer swallows these with a WARN
+            extras_errors.append(e)
+            raise
+
+    trainer.on_validation_extras = checked_extras
+    trainer.fit()
+    assert not extras_errors, extras_errors
+
+    from xiaoicesing_io_tpu.eval.copy_synthesis import evaluate_variance
+
+    report = evaluate_variance(cfg, dataset="valid", limit=1)
+    assert np.isfinite(report["pitch_acc"])
+    assert np.isfinite(report["rhythm_corr"])

@@ -238,11 +238,15 @@ def evaluate_variance(
     key = jax.random.PRNGKey(0)
     for i in range(n):
         b = ds.collate([i], pad_to_bucket=True)
+        spk_kwargs = (
+            {"spk_id": jnp.asarray(b["spk_ids"])}
+            if cfg.get("use_spk_id", False) else {}
+        )
         if predict_dur:
             _, dur_pred = model.apply(
                 params, jnp.asarray(b["tokens"]), jnp.asarray(b["midi"]),
                 jnp.asarray(b["ph2word"]), ph_dur=jnp.asarray(b["ph_dur"]),
-                infer=True, method=VarianceModel.encode,
+                infer=True, method=VarianceModel.encode, **spk_kwargs,
             )
             mask = np.asarray(b["tokens"]) > 0
             rhythm.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)

@@ -232,11 +232,15 @@ def make_variance_validation_extras(cfg, model, core, normalizers, valid_ds):
         for i in range(n_plots):
             batch = valid_ds.collate([i], pad_to_bucket=True)
             mask = np.asarray(batch["tokens"]) > 0
+            spk_kwargs = (
+                {"spk_id": jnp.asarray(batch["spk_ids"])}
+                if cfg.get("use_spk_id", False) else {}
+            )
             if predict_dur:
                 _, dur_pred = model.apply(
                     params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["midi"]),
                     jnp.asarray(batch["ph2word"]), ph_dur=jnp.asarray(batch["ph_dur"]),
-                    infer=True, method=VarianceModel.encode,
+                    infer=True, method=VarianceModel.encode, **spk_kwargs,
                 )
                 dur_pred_np = np.asarray(dur_pred)
                 rhythm.update(dur_pred_np, batch["ph_dur"], batch["ph2word"], mask=mask)

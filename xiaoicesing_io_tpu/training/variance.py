@@ -211,14 +211,14 @@ def sample_variance_inference(
     both score the same sampling path.
     """
     mel2ph = jnp.asarray(batch["mel2ph"])
-    encoder_out, _ = model.apply(
-        params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["midi"]),
-        jnp.asarray(batch["ph2word"]), ph_dur=jnp.asarray(batch["ph_dur"]),
-        infer=True, method=VarianceModel.encode,
-    )
     spk_kwargs = (
         {"spk_id": jnp.asarray(batch["spk_ids"])}
         if cfg.get("use_spk_id", False) else {}
+    )
+    encoder_out, _ = model.apply(
+        params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["midi"]),
+        jnp.asarray(batch["ph2word"]), ph_dur=jnp.asarray(batch["ph_dur"]),
+        infer=True, method=VarianceModel.encode, **spk_kwargs,
     )
     condition = model.apply(
         params, encoder_out, mel2ph, method=VarianceModel.frame_condition,
