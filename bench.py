@@ -231,6 +231,24 @@ def main(B=B, T_F=T_F, K=K, wavenet_check=True):
             sampler_flops = float(ca.get("flops", 0.0)) or None
         except Exception:
             pass
+        if not sampler_flops or sampler_flops < K * 1e9:
+            # XLA's cost_analysis does not multiply a scan/while body by its
+            # trip count (observed: whole-sampler "flops" ~1000x too small,
+            # printing MFU 0.0) — analyze ONE denoiser step and scale by K.
+            try:
+                def _one_step(params, x, t, cond):
+                    return model.apply(params, x, t, cond,
+                                       method=AcousticModel.denoise)
+
+                x0 = jnp.zeros((B, 1, T_F, M), jnp.float32)
+                t0 = jnp.zeros((B,), jnp.float32)
+                ca = (jax.jit(_one_step)
+                      .lower(params, x0, t0, cond_d).compile().cost_analysis())
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                step_flops = float(ca.get("flops", 0.0))
+                sampler_flops = step_flops * K if step_flops > 0 else None
+            except Exception:
+                pass
         # v5e (TPU v5 lite) peak ~197 TFLOP/s bf16 — MFU is indicative only
         mfu = (sampler_flops / t_sampler / 197e12) if sampler_flops else None
         print(json.dumps({
