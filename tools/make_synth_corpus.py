@@ -9,6 +9,8 @@ Diversity axes:
   - 18 voiced phonemes, each with a 2-formant timbre + spectral tilt;
   - N speakers (default 3) with distinct formant scaling, pitch range,
     vibrato rate/depth, tilt offset and breathiness;
+  - per-phoneme log-normal duration families (round 5): open vowels long,
+    glides/liquids short, so phone identity carries duration signal;
   - per-item tempo factor (0.65-1.5x) scaling phoneme durations;
   - melodies as random walks with occasional leaps, clipped to the
     speaker's range, with portamento + speaker-specific vibrato.
@@ -43,6 +45,23 @@ VOICED_SPECS = {
 }
 VOICED = list(VOICED_SPECS)
 
+# Per-phoneme log-normal duration families (median seconds, log-sd).
+# Open vowels long, nasal-coda finals medium, glides/liquids/nasals short —
+# the natural-data shape where phone identity is the dominant duration
+# signal (cf. reference DurationPredictor learning from ph_dur targets,
+# /root/reference/modules/fastspeech/tts_modules.py:53-134). Round 4 drew
+# durations iid-uniform regardless of phoneme, which put an information
+# ceiling on rhythm correctness; round 5 makes duration learnable.
+DUR_SPECS = {
+    "a": (0.52, 0.18), "e": (0.46, 0.18), "i": (0.42, 0.18),
+    "o": (0.48, 0.18), "u": (0.44, 0.18), "y": (0.38, 0.18),
+    "er": (0.40, 0.20), "an": (0.34, 0.20), "en": (0.32, 0.20),
+    "ang": (0.36, 0.20),
+    "w": (0.14, 0.22), "n": (0.11, 0.22), "l": (0.10, 0.22),
+    "m": (0.12, 0.22), "r": (0.13, 0.22), "ng": (0.15, 0.22),
+    "v": (0.12, 0.22), "j": (0.10, 0.22),
+}
+
 # speaker profiles: formant scale, MIDI range, vibrato rate/depth,
 # tilt offset, breathiness multiplier
 SPEAKER_SPECS = [
@@ -76,7 +95,9 @@ def synth_item(rng, secs, spk):
             d = float(rng.uniform(0.15, 0.4))
         else:
             ph = VOICED[rng.integers(len(VOICED))]
-            d = float(rng.uniform(0.12, 0.8)) * tempo
+            med, sd = DUR_SPECS[ph]
+            d = float(np.clip(med * np.exp(rng.normal(0.0, sd)) * tempo,
+                              0.05, 1.2))
         phs.append(ph); durs.append(round(d, 4)); t_total += d
     phs.append("SP"); durs.append(round(float(rng.uniform(0.1, 0.3)), 4))
     t_total += durs[-1]

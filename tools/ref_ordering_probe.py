@@ -15,9 +15,16 @@ Matched config (both frameworks): hidden 64, enc_layers 2, LYNXNet 96x2
 (strong_cond), ConvNeXt aux 48x1, reflow T_start 0.4, l2 main loss,
 lambda_aux 0.2, Adam 4e-4, same step count, frame-budget batches.
 
+Round 5 extends the probe per VERDICT task 3: converge the run (5-10k
+steps), evaluate every ``--eval-every`` steps (partial JSON written after
+each eval so an interrupted run still leaves committed evidence), sample
+``--seeds`` seeds per item (dispersion + 4-sample posterior mean), and
+record the temporal-contrast (sharpness) metric on the reference outputs —
+the same three measurements tools/sharpness_probe.py makes on our side.
+
 Usage:
   python tools/ref_ordering_probe.py --binary .work/corpus_r4/binary \
-      --steps 1200 --out docs/convergence_r4/ref_ordering.json
+      --steps 6000 --eval-every 1500 --out docs/convergence_r5/ref_ordering.json
 """
 
 import argparse
@@ -127,13 +134,24 @@ def _batches(items, budget, max_items, rng):
     return batches
 
 
+def local_contrast(mel):
+    """Mean |Δ| along time/mel axes — same sharpness proxy as sharpness_probe."""
+    return {
+        "dt": float(np.mean(np.abs(np.diff(mel, axis=0)))),
+        "df": float(np.mean(np.abs(np.diff(mel, axis=1)))),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--binary", required=True)
     ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--eval-every", type=int, default=0)
+    ap.add_argument("--seeds", type=int, default=4)
     ap.add_argument("--limit-train", type=int, default=160)
     ap.add_argument("--limit-valid", type=int, default=9)
     ap.add_argument("--budget", type=int, default=9000)
+    ap.add_argument("--save-model", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -191,6 +209,104 @@ def main():
         return (torch.from_numpy(tokens), torch.from_numpy(mel2ph),
                 torch.from_numpy(f0), torch.from_numpy(mel))
 
+    def evaluate(step):
+        """Multi-seed held-out eval: MAE/MCD + dispersion + posterior mean +
+        temporal contrast — mirrors tools/sharpness_probe.py measurements."""
+        model.eval()
+        rows = []
+        for i, it in enumerate(valid_items):
+            T = len(it["f0"])
+            tokens = torch.from_numpy(it["tokens"][None].astype(np.int64))
+            mel2ph = torch.from_numpy(it["mel2ph"][None].astype(np.int64))
+            f0 = torch.from_numpy(it["f0"][None].astype(np.float32))
+            mask = it["mel2ph"] > 0
+            gt_m = it["mel"][:T][mask]
+            samples, aux = [], None
+            for s in range(max(1, args.seeds)):
+                torch.manual_seed(1000 * i + s)
+                with torch.no_grad():
+                    out = model(tokens, mel2ph=mel2ph, f0=f0, infer=True)
+                samples.append(out.diff_out[0].numpy()[:T][mask])
+                if aux is None:
+                    aux = out.aux_out[0].numpy()[:T][mask]
+            post_mean = np.mean(samples, axis=0)
+            row = {
+                "item": i,
+                "full_mae": float(np.mean([mel_mae(s, gt_m) for s in samples])),
+                "full_mcd": float(np.mean([mcd(s, gt_m) for s in samples])),
+                "seed0_mae": float(mel_mae(samples[0], gt_m)),
+                "post_mean_mae": float(mel_mae(post_mean, gt_m)),
+                "post_mean_mcd": float(mcd(post_mean, gt_m)),
+                "aux_mae": float(mel_mae(aux, gt_m)),
+                "aux_mcd": float(mcd(aux, gt_m)),
+                "dispersion_mae": float(mel_mae(samples[0], samples[1]))
+                if len(samples) > 1 else None,
+                "contrast_gt": local_contrast(it["mel"][:T][mask]),
+                "contrast_aux": local_contrast(aux),
+                "contrast_sample": local_contrast(samples[0]),
+            }
+            rows.append(row)
+            print(f"| step {step} valid {i}: full {row['full_mae']:.4f}/"
+                  f"{row['full_mcd']:.2f}dB aux {row['aux_mae']:.4f}/"
+                  f"{row['aux_mcd']:.2f}dB post {row['post_mean_mae']:.4f}"
+                  f" disp {row['dispersion_mae']}", flush=True)
+        model.train()
+
+        def _avg(key):
+            vals = [r[key] for r in rows if r[key] is not None]
+            return float(np.mean(vals)) if vals else None
+
+        def _avgc(key, ax):
+            return float(np.mean([r[key][ax] for r in rows]))
+
+        return {
+            "step": step,
+            "mean_full_mae": _avg("full_mae"),
+            "mean_full_mcd": _avg("full_mcd"),
+            "mean_post_mean_mae": _avg("post_mean_mae"),
+            "mean_post_mean_mcd": _avg("post_mean_mcd"),
+            "mean_aux_mae": _avg("aux_mae"),
+            "mean_aux_mcd": _avg("aux_mcd"),
+            "mean_dispersion_mae": _avg("dispersion_mae"),
+            "post_mean_wins_items": sum(
+                1 for r in rows if r["post_mean_mae"] < r["aux_mae"]),
+            "contrast": {
+                "gt_dt": _avgc("contrast_gt", "dt"),
+                "gt_df": _avgc("contrast_gt", "df"),
+                "aux_dt": _avgc("contrast_aux", "dt"),
+                "aux_df": _avgc("contrast_aux", "df"),
+                "sample_dt": _avgc("contrast_sample", "dt"),
+                "sample_df": _avgc("contrast_sample", "df"),
+            },
+            "rows": rows,
+        }
+
+    evals = []
+
+    def write_report(final_steps):
+        report = {
+            "framework": "reference-torch-cpu",
+            "steps": final_steps,
+            "seeds": args.seeds,
+            "train_items": n_train,
+            "params_m": n_params / 1e6,
+            "evals": evals,
+        }
+        if evals:
+            last = evals[-1]
+            for k in ("mean_full_mae", "mean_full_mcd", "mean_post_mean_mae",
+                      "mean_aux_mae", "mean_aux_mcd", "mean_dispersion_mae"):
+                report[k] = last[k]
+            report["aux_wins_mae"] = last["mean_aux_mae"] < last["mean_full_mae"]
+            report["aux_wins_mcd"] = last["mean_aux_mcd"] < last["mean_full_mcd"]
+            report["contrast"] = last["contrast"]
+        print(json.dumps({k: v for k, v in report.items() if k != "evals"},
+                         indent=2), flush=True)
+        if args.out:
+            p = pathlib.Path(args.out)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(json.dumps(report, indent=2))
+
     rng = np.random.default_rng(0)
     step = 0
     t0 = time.time()
@@ -212,52 +328,19 @@ def main():
             opt.step()
             step += 1
             if step % 100 == 0:
-                print(f"| step {step}: aux {float(aux_l):.4f} mel {float(mel_l):.4f}"
+                print(f"| step {step}: aux {float(aux_l.detach()):.4f}"
+                      f" mel {float(mel_l.detach()):.4f}"
                       f" ({(time.time()-t0)/step:.2f} s/step)", flush=True)
+            if args.eval_every and step % args.eval_every == 0 and step < args.steps:
+                evals.append(evaluate(step))
+                write_report(step)
+                if args.save_model:
+                    torch.save(model.state_dict(), args.save_model)
 
-    model.eval()
-    rows = []
-    for i, it in enumerate(valid_items):
-        T = len(it["f0"])
-        tokens = torch.from_numpy(it["tokens"][None].astype(np.int64))
-        mel2ph = torch.from_numpy(it["mel2ph"][None].astype(np.int64))
-        f0 = torch.from_numpy(it["f0"][None].astype(np.float32))
-        torch.manual_seed(i)
-        with torch.no_grad():
-            out = model(tokens, mel2ph=mel2ph, f0=f0, infer=True)
-        gt = it["mel"]
-        mask = it["mel2ph"] > 0
-        diff = out.diff_out[0].numpy()[:T][mask]
-        aux = out.aux_out[0].numpy()[:T][mask]
-        gt_m = gt[:T][mask]
-        rows.append({
-            "item": i,
-            "full_mae": float(mel_mae(diff, gt_m)),
-            "full_mcd": float(mcd(diff, gt_m)),
-            "aux_mae": float(mel_mae(aux, gt_m)),
-            "aux_mcd": float(mcd(aux, gt_m)),
-        })
-        print(f"| valid {i}: full {rows[-1]['full_mae']:.4f}/{rows[-1]['full_mcd']:.2f}dB"
-              f"  aux {rows[-1]['aux_mae']:.4f}/{rows[-1]['aux_mcd']:.2f}dB", flush=True)
-
-    report = {
-        "framework": "reference-torch-cpu",
-        "steps": args.steps,
-        "train_items": n_train,
-        "params_m": n_params / 1e6,
-        "mean_full_mae": float(np.mean([r["full_mae"] for r in rows])),
-        "mean_full_mcd": float(np.mean([r["full_mcd"] for r in rows])),
-        "mean_aux_mae": float(np.mean([r["aux_mae"] for r in rows])),
-        "mean_aux_mcd": float(np.mean([r["aux_mcd"] for r in rows])),
-        "rows": rows,
-    }
-    report["aux_wins_mae"] = report["mean_aux_mae"] < report["mean_full_mae"]
-    report["aux_wins_mcd"] = report["mean_aux_mcd"] < report["mean_full_mcd"]
-    print(json.dumps({k: v for k, v in report.items() if k != "rows"}, indent=2))
-    if args.out:
-        p = pathlib.Path(args.out)
-        p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_text(json.dumps(report, indent=2))
+    evals.append(evaluate(step))
+    write_report(step)
+    if args.save_model:
+        torch.save(model.state_dict(), args.save_model)
 
 
 if __name__ == "__main__":

@@ -47,10 +47,18 @@ def cli():
     # persistent XLA compile cache: remote/tunneled compilers take 30 s -
     # 10 min per program, and the RSS-watchdog re-exec path re-pays every
     # bucket-shape compile on each restart without it (PerformanceNotes).
-    cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"),
-    )
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache:
+        # repo-root .jax_cache for a source checkout; for an installed
+        # package parents[2] lands in/next to site-packages (unwritable or
+        # polluting), so fall back to a user cache dir
+        root = pathlib.Path(__file__).resolve().parents[2]
+        if (root / "pytest.ini").exists() or (root / ".git").exists() \
+                or (root / ".jax_cache").is_dir():
+            cache = str(root / ".jax_cache")
+        else:
+            cache = str(pathlib.Path.home() / ".cache" / "xiaoicesing_io_tpu"
+                        / "jax_cache")
     if cache:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -63,6 +63,12 @@ class BaseDataset:
     def num_frames(self, index: int) -> int:
         return int(self.sizes[index])
 
+    def attr_len(self, key: str, index: int) -> int:
+        """Per-item length of attribute ``key`` from the metadata sidecar —
+        no HDF5 read.  Lets a multi-process trainer compute OTHER ranks'
+        batch shapes without touching their data."""
+        return int(self.metadata[key][index])
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         if self._preloaded is not None:
             return self._preloaded[index]
@@ -82,10 +88,14 @@ class AcousticDataset(BaseDataset):
         ]
 
     def collate(self, indices: List[int], pad_to_bucket: bool = True,
-                pad_batch_to: int = 0) -> Dict[str, np.ndarray]:
+                pad_batch_to: int = 0, pad_frames_to: int = 0,
+                pad_tokens_to: int = 0) -> Dict[str, np.ndarray]:
+        """``pad_frames_to``/``pad_tokens_to`` force MINIMUM padded lengths —
+        the multi-process trainer passes the cross-rank maxima so every host
+        enters the jitted step with identical global shapes."""
         samples = [self[i] for i in indices]
-        T_f = max(s["mel"].shape[0] for s in samples)
-        T_ph = max(len(s["tokens"]) for s in samples)
+        T_f = max(max(s["mel"].shape[0] for s in samples), pad_frames_to)
+        T_ph = max(max(len(s["tokens"]) for s in samples), pad_tokens_to)
         if pad_to_bucket:
             T_f = _round_up(T_f, FRAME_BUCKET)
             T_ph = _round_up(T_ph, TOKEN_BUCKET)
@@ -138,10 +148,13 @@ class VarianceDataset(BaseDataset):
         ]
 
     def collate(self, indices: List[int], pad_to_bucket: bool = True,
-                pad_batch_to: int = 0) -> Dict[str, np.ndarray]:
+                pad_batch_to: int = 0, pad_frames_to: int = 0,
+                pad_tokens_to: int = 0, pad_notes_to: int = 0) -> Dict[str, np.ndarray]:
+        """``pad_*_to`` force MINIMUM padded lengths — the multi-process
+        trainer passes cross-rank maxima for cross-host shape agreement."""
         cfg = self.cfg
         samples = [self[i] for i in indices]
-        T_ph = max(len(s["tokens"]) for s in samples)
+        T_ph = max(max(len(s["tokens"]) for s in samples), pad_tokens_to)
         if pad_to_bucket:
             T_ph = _round_up(T_ph, TOKEN_BUCKET)
         n = max(len(samples), pad_batch_to)  # extra rows = all-zero padding
@@ -159,7 +172,7 @@ class VarianceDataset(BaseDataset):
             batch["midi"] = collate_nd([s["midi"] for s in samples], max_len=T_ph,
                                        dtype=np.int32, rows=n)
         if "mel2ph" in samples[0]:
-            T_f = max(s["mel2ph"].shape[0] for s in samples)
+            T_f = max(max(s["mel2ph"].shape[0] for s in samples), pad_frames_to)
             if pad_to_bucket:
                 T_f = _round_up(T_f, FRAME_BUCKET)
             batch["mel2ph"] = collate_nd(
@@ -171,7 +184,7 @@ class VarianceDataset(BaseDataset):
             batch["uv"] = collate_nd([s["uv"] for s in samples], max_len=T_f,
                                      dtype=bool, rows=n)
         if cfg.get("predict_pitch", True):
-            T_n = max(s["note_midi"].shape[0] for s in samples)
+            T_n = max(max(s["note_midi"].shape[0] for s in samples), pad_notes_to)
             if pad_to_bucket:
                 T_n = _round_up(T_n, TOKEN_BUCKET)
             batch["note_midi"] = collate_nd(

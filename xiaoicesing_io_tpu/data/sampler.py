@@ -98,38 +98,65 @@ class DistributedBatchSampler:
         else:
             leftovers = list(range(floored_total, len(batches)))
 
-        assignment = np.arange(floored_total).reshape(-1, self.num_replicas).transpose()
+        matrix = np.arange(floored_total).reshape(-1, self.num_replicas).transpose()
         if self.shuffle_batch:
-            assignment = rng.permuted(assignment, axis=0)[self.rank].tolist()
-        else:
-            assignment = assignment[self.rank].tolist()
+            matrix = rng.permuted(matrix, axis=0)
 
-        floored = len(assignment)
-        if self.rank < len(leftovers):
-            assignment.append(leftovers[self.rank])
-            floored += 1
-        elif len(leftovers) > 0 and self.pad_batch_assignment:
-            # duplicate one batch so every replica sees an equal batch count
-            # (training only; the reference's val sampler leaves ranks uneven,
-            # utils/training_utils.py:162-165 + basics/base_task.py:359-369)
-            if not assignment:
-                raise RuntimeError("Cannot pad empty batch assignment.")
-            assignment.append(assignment[self.epoch % floored])
+        # every rank's assignment is computed on every host (the whole thing
+        # is deterministic in (seed, epoch)): a multi-process trainer needs
+        # the OTHER ranks' step-aligned batches to agree on the global batch
+        # shape without communication (see Trainer._global_shape_targets)
+        all_assignments: List[List[int]] = []
+        for rank in range(self.num_replicas):
+            assignment = matrix[rank].tolist()
+            floored = len(assignment)
+            if rank < len(leftovers):
+                assignment.append(leftovers[rank])
+                floored += 1
+            elif len(leftovers) > 0 and self.pad_batch_assignment:
+                # duplicate one batch so every replica sees an equal batch
+                # count (training only; the reference's val sampler leaves
+                # ranks uneven, utils/training_utils.py:162-165 +
+                # basics/base_task.py:359-369)
+                if not assignment:
+                    # an un-paddable empty rank is an error only if WE are
+                    # that rank (pre-round-5 behavior: other ranks were
+                    # never computed); its slot stays empty
+                    if rank == self.rank:
+                        raise RuntimeError("Cannot pad empty batch assignment.")
+                    all_assignments.append([])
+                    continue
+                assignment.append(assignment[self.epoch % floored])
 
-        if (
-            self.required_batch_count_multiple > 1
-            and len(assignment) % self.required_batch_count_multiple != 0
-        ):
-            ceiled = math.ceil(
-                len(assignment) / self.required_batch_count_multiple
-            ) * self.required_batch_count_multiple
-            for i in range(ceiled - len(assignment)):
-                assignment.append(
-                    assignment[(i + self.epoch * self.required_batch_count_multiple) % floored]
-                )
+            if (
+                self.required_batch_count_multiple > 1
+                and len(assignment) % self.required_batch_count_multiple != 0
+            ):
+                ceiled = math.ceil(
+                    len(assignment) / self.required_batch_count_multiple
+                ) * self.required_batch_count_multiple
+                for i in range(ceiled - len(assignment)):
+                    assignment.append(
+                        assignment[(i + self.epoch * self.required_batch_count_multiple) % floored]
+                    )
+            all_assignments.append(assignment)
 
-        self.batches = [list(batches[i]) for i in assignment]
+        self._all_batches = batches
+        self._assignments = all_assignments
+        self.batches = [list(batches[i]) for i in all_assignments[self.rank]]
         self._formed = (self.epoch, self.seed)
+
+    def batches_at_step(self, step_idx: int) -> List[List[int]]:
+        """Item lists for EVERY rank at iteration ``step_idx`` (identical on
+        all hosts — everything is deterministic in (seed, epoch)).  Used by
+        the multi-process trainer to agree on the per-step global batch
+        shape: every jit call on a multi-host mesh must be entered by every
+        process with identical shapes."""
+        self._form_batches()
+        return [
+            list(self._all_batches[a[step_idx]]) if step_idx < len(a) else []
+            for a in self._assignments
+        ]
 
     def __iter__(self):
         self._form_batches()

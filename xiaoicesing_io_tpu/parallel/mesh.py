@@ -46,9 +46,33 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
-    """Place a host-local batch pytree onto the mesh, sharded on dim 0."""
+    """Place a GLOBAL batch pytree onto the mesh, sharded on dim 0.
+
+    Multi-process: every host must pass the SAME global array (device_put
+    asserts value equality across processes); each host's devices keep their
+    addressable rows.  For per-host disjoint data use
+    :func:`shard_host_local_batch`."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_host_local_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Assemble a global dp-sharded batch from PER-HOST disjoint shards.
+
+    Each process passes only ITS OWN rows (the sampler's per-rank batch);
+    the global array is their concatenation in process order — the
+    multi-host trainer feed (DDP semantics: every host contributes its local
+    batch, jax.make_array_from_process_local_data stitches the global view).
+    All hosts must pass the same local SHAPE (the trainer synchronizes
+    shapes via Trainer._global_shape_targets).  Single-process: plain
+    device_put."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis)
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch,
+    )
 
 
 def make_train_step(loss_fn, mesh: Mesh, axis: str = "dp", donate: bool = True):

@@ -36,11 +36,18 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
-def list_checkpoints(work_dir) -> List[Path]:
+def list_checkpoints(work_dir, complete_only: bool = True) -> List[Path]:
+    """Checkpoint dirs sorted by step.  A dir without ``meta.json`` is an
+    incomplete save (the stall watchdog can execve() between orbax finalizing
+    the dir and the meta write) — by default such dirs are excluded, so
+    resume falls back to the previous complete checkpoint instead of
+    crashing on every restart."""
     work_dir = Path(work_dir)
     if not work_dir.exists():
         return []
     out = [p for p in work_dir.iterdir() if p.is_dir() and CKPT_RE.search(p.name)]
+    if complete_only:
+        out = [p for p in out if (p / "meta.json").exists()]
     return sorted(out, key=lambda p: int(CKPT_RE.search(p.name).group(1)))
 
 
@@ -73,24 +80,52 @@ class CheckpointManager:
         )
 
     def save(self, state, step: int, extra_meta: Optional[Dict] = None) -> Path:
+        """Write ``model_ckpt_steps_{step}``.
+
+        Multi-process: orbax's save is a COLLECTIVE (internal cross-host
+        barriers even for host-local numpy payloads), so EVERY process must
+        call this together; only the primary host mutates the filesystem
+        (shared-storage layout, same as the reference's rank-zero
+        checkpoint callback)."""
         path = self.work_dir / f"model_ckpt_steps_{step}"
         ckptr = _checkpointer()
         payload = {
             "params": jax.tree.map(np.asarray, state.params),
             "opt_state": jax.tree.map(np.asarray, state.opt_state),
         }
-        if path.exists():
+        multi = jax.process_count() > 1
+        primary = jax.process_index() == 0
+        if multi:
+            from jax.experimental import multihost_utils
+
+            if path.exists() and primary:
+                shutil.rmtree(path)
+            multihost_utils.sync_global_devices(f"ckpt_pre_{step}")
+        elif path.exists():
             shutil.rmtree(path)
         ckptr.save(path.resolve(), payload)
         ckptr.wait_until_finished()
-        meta = {"step": step, "category": self.category}
-        meta.update(extra_meta or {})
-        with open(path / "meta.json", "w") as f:
-            json.dump(meta, f)
-        self._cleanup()
+        if primary:
+            meta = {"step": step, "category": self.category}
+            meta.update(extra_meta or {})
+            with open(path / "meta.json", "w") as f:
+                json.dump(meta, f)
+            self._cleanup()
+        if multi:
+            # non-primary hosts must not race ahead (e.g. into a resume)
+            # before meta.json lands
+            multihost_utils.sync_global_devices(f"ckpt_post_{step}")
         return path
 
     def _cleanup(self):
+        # stale incomplete dirs (no meta.json — an earlier save was cut short
+        # mid-finalize) are never loadable: remove them so they cannot shadow
+        # a step or accumulate.  _cleanup only runs after THIS save's meta
+        # write, so the dir just written is never in this list.
+        complete = set(list_checkpoints(self.work_dir))
+        for p in list_checkpoints(self.work_dir, complete_only=False):
+            if p not in complete:
+                shutil.rmtree(p, ignore_errors=True)
         ckpts = list_checkpoints(self.work_dir)
         deletable = [
             p for p in ckpts if not self._is_permanent(int(CKPT_RE.search(p.name).group(1)))
@@ -151,7 +186,7 @@ def load_params_for_inference(work_dir, cfg, ckpt_steps: Optional[int] = None):
         ]
     else:
         ours = latest_checkpoint(work_dir)
-    if ours is not None and Path(ours).exists():
+    if ours is not None and Path(ours).exists() and (Path(ours) / "meta.json").exists():
         ckptr = _checkpointer()
         restored = ckptr.restore(Path(ours).resolve())
         return {"params": restored["params"]}

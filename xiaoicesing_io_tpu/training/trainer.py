@@ -18,6 +18,7 @@ forms its own batch list with ``rank = jax.process_index()``.
 
 from __future__ import annotations
 
+import math
 import time
 from pathlib import Path
 from typing import Callable, Dict, Optional
@@ -26,7 +27,12 @@ import jax
 import numpy as np
 
 from ..data.sampler import DistributedBatchSampler
-from ..parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from ..parallel.mesh import (
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+    shard_host_local_batch,
+)
 from .checkpoint import CheckpointManager
 from .train_state import TrainState
 from .schedules import build_lr_schedule
@@ -97,20 +103,29 @@ def fixed_batch_rows(n_items: int, t_pad: int, max_batch_frames: int,
                      max_batch_size: int, n_local: int) -> int:
     """Row count for a fixed-shape train batch: budget // t_pad (clamped to
     ``max_batch_size``, never below ``n_items``), rounded UP to a multiple of
-    max(8, n_local).
+    lcm(8, n_local) — divisible by the local device count (the batch dim is
+    sharded) AND quantized to 8-row steps to bound the shape-class count.
 
     Without the rounding, the sampler packing MORE items than budget//t_pad
     makes the row count jitter per batch AND per epoch (54/55, 42/43 rows
     measured on a diverse-length corpus) — every variant is a fresh XLA
     program at 30s-10min per remote compile on a tunneled backend (22 shape
-    classes measured vs 8 frame buckets). Rounding costs <=7 zero rows
+    classes measured vs 8 frame buckets). Rounding costs a few zero rows
     (masked: no loss or audio-seconds contribution) and collapses each
     bucket's row variants to at most two.
+
+    ``max_batch_size`` is honored by rounding the cap DOWN to the quantum
+    first (so the round-up cannot silently exceed the user's memory cap);
+    when the cap is smaller than one 8-row quantum, only device
+    divisibility is enforced.  ``n_items`` still wins over the cap — the
+    sampler already bounded it, and every packed item needs a row.
     """
+    mult = math.lcm(8, n_local)
+    if max_batch_size < mult:
+        mult = n_local  # cap below one quantum: keep only shard divisibility
     rows = max(n_items, max_batch_frames // max(t_pad, 1))
-    rows = min(rows, max_batch_size)
+    rows = min(rows, max(max_batch_size // mult * mult, mult))
     rows = max(rows, n_items)
-    mult = max(8, n_local)
     return -(-rows // mult) * mult
 
 
@@ -179,7 +194,11 @@ class Trainer:
         # f16/i16 (halves transfer bytes over a slow link) and are widened
         # back to f32/i32 on device as the first op of the jitted step.
         # Training-only: validation/eval batches stay full-precision.
-        self.compact_feed = bool(cfg.get("compact_feed", True))
+        # Single-process only: the narrowing decision is VALUE-dependent per
+        # host, so multi-process hosts could disagree on a field's wire dtype
+        # (= different global array dtypes = shape-mismatched lockstep jit)
+        self.compact_feed = bool(cfg.get("compact_feed", True)) \
+            and jax.process_count() == 1
         # per-field wire-dtype plan (see _narrow_batch); shared across the
         # prefetch threads — dict writes are atomic and changes are monotone
         self._narrow_plan: Dict[str, np.dtype] = {}
@@ -213,7 +232,12 @@ class Trainer:
             cfg.get("optimizer_args", {}), cfg.get("lr_scheduler_args", {})
         )
 
-        self.n_local = len(self.mesh.devices.flatten())
+        # n_total: all mesh devices (val batches are replicated-content and
+        # sharded over the whole dp axis); n_local: this PROCESS's devices
+        # (each host contributes its own rows to the global train batch, so
+        # per-host row counts need only local divisibility)
+        self.n_total = len(self.mesh.devices.flatten())
+        self.n_local = jax.local_device_count()
         # max_updates / val_check_interval / lr schedule count OPTIMIZER steps
         # (the reference's Lightning max_steps semantics); with gradient
         # accumulation each optimizer step consumes `accum` micro-batches
@@ -223,7 +247,33 @@ class Trainer:
         self.val_check_interval = cfg.get("val_check_interval", 2000)
         self.num_devices = len(jax.devices())
 
-    def _collate_train(self, indices):
+    def _global_shape_targets(self, sampler, step_idx: int):
+        """Cross-process shape agreement for train step ``step_idx`` — NO
+        communication needed.
+
+        Every jit call on a multi-host mesh must be entered by every process
+        with identical global shapes.  The sampler's per-rank assignment is
+        deterministic in (seed, epoch) and the ``.meta`` sidecar carries
+        every item's per-attribute lengths, so each host computes the maxima
+        over ALL ranks' step-``step_idx`` batches locally and pads its own
+        shard to them.  Returns None in single-process runs."""
+        if self.num_replicas == 1:
+            return None
+        ds = self.train_dataset
+        all_b = sampler.batches_at_step(step_idx)
+        items = [i for b in all_b for i in b]
+        targets = {
+            "items": max((len(b) for b in all_b), default=0),
+            "frames": max((ds.num_frames(i) for i in items), default=0),
+        }
+        meta = getattr(ds, "metadata", {})
+        if "tokens" in meta:
+            targets["tokens"] = max(ds.attr_len("tokens", i) for i in items)
+        if "note_midi" in meta:
+            targets["notes"] = max(ds.attr_len("note_midi", i) for i in items)
+        return targets
+
+    def _collate_train(self, indices, shape_targets=None):
         """Form a train batch with a BOUNDED set of compiled shapes.
 
         With raw frame-budget batching every distinct item count is its own
@@ -237,22 +287,35 @@ class Trainer:
         and no audio-seconds in the throughput metric.
 
         Disable with ``fixed_shape_batches: false`` to get the raw
-        duplicate-item padding (reference DsBatchSampler semantics).
+        duplicate-item padding (reference DsBatchSampler semantics) —
+        single-process only: multi-process runs always use the fixed-shape
+        path padded to the cross-rank ``shape_targets`` (all hosts must
+        enter the jitted step with one global shape).
         """
-        if not self.cfg.get("fixed_shape_batches", True):
+        if not self.cfg.get("fixed_shape_batches", True) and shape_targets is None:
             return self.collate(self._pad_indices(indices))
         ds = self.train_dataset
         from ..data.dataset import FRAME_BUCKET, _round_up
 
         frames = max(ds.num_frames(i) for i in indices)
+        n_items = len(indices)
+        extra = {}
+        if shape_targets is not None:
+            frames = max(frames, shape_targets["frames"])
+            n_items = max(n_items, shape_targets["items"])
+            if "tokens" in shape_targets:
+                extra["pad_tokens_to"] = shape_targets["tokens"]
+            if "notes" in shape_targets:
+                extra["pad_notes_to"] = shape_targets["notes"]
+            extra["pad_frames_to"] = frames
         t_pad = _round_up(int(frames), FRAME_BUCKET)
         b_target = fixed_batch_rows(
-            len(indices), t_pad,
+            n_items, t_pad,
             int(self.cfg.get("max_batch_frames", 50000)),
             int(self.cfg.get("max_batch_size", 64)),
             self.n_local,
         )
-        return self.collate(indices, pad_batch_to=b_target)
+        return self.collate(indices, pad_batch_to=b_target, **extra)
 
     def _prefetch(self, sampler, depth: Optional[int] = None):
         """Collate AND device_put batches on a small thread pool so host-side
@@ -281,9 +344,9 @@ class Trainer:
         workers = max(1, int(self.cfg.get("dataloader_num_threads", 2)))
         stats = self._feed_stats
 
-        def produce(indices):
+        def produce(indices, shape_targets):
             t0 = time.perf_counter()
-            batch_np = self._collate_train(indices)
+            batch_np = self._collate_train(indices, shape_targets)
             real_frames = (
                 int((batch_np["mel2ph"] > 0).sum())
                 if "mel2ph" in batch_np else 0
@@ -291,8 +354,10 @@ class Trainer:
             t1 = time.perf_counter()
             if self.compact_feed:
                 batch_np = _narrow_batch(batch_np, self._narrow_plan)
-            # step i's compute overlaps batch i+k's host->device copy
-            dev = shard_batch(batch_np, self.mesh)
+            # step i's compute overlaps batch i+k's host->device copy.
+            # multi-process: each host contributes its OWN rows of the
+            # global batch (shapes pre-agreed via shape_targets)
+            dev = shard_host_local_batch(batch_np, self.mesh)
             t2 = time.perf_counter()
             stats["collate_s"] += t1 - t0
             stats["dispatch_s"] += t2 - t1
@@ -302,8 +367,9 @@ class Trainer:
         ex = ThreadPoolExecutor(max_workers=workers)
         pending: deque = deque()
         try:
-            for indices in sampler:
-                pending.append(ex.submit(produce, indices))
+            for step_idx, indices in enumerate(sampler):
+                targets = self._global_shape_targets(sampler, step_idx)
+                pending.append(ex.submit(produce, indices, targets))
                 if len(pending) < window:
                     continue
                 t0 = time.perf_counter()
@@ -325,8 +391,10 @@ class Trainer:
     def _pad_indices(self, indices):
         """The batch dim is sharded over the mesh, so it must be a multiple of
         the local device count; pad by cycling samples (same spirit as the
-        reference sampler's duplicate-batch padding, training_utils.py:157-165)."""
-        n = self.n_local
+        reference sampler's duplicate-batch padding, training_utils.py:157-165).
+        Pads to the TOTAL device count — used for replicated-content val
+        batches sharded over the whole dp axis."""
+        n = self.n_total
         if len(indices) % n == 0:
             return indices
         out = list(indices)
@@ -496,43 +564,58 @@ class Trainer:
                 if step % self.val_check_interval == 0:
                     self.validate(step, key)
                     last_validated = step
-                    if self.rank == 0:
-                        self.ckpt.save(
-                            jax.device_get(self.state), step,
-                            extra_meta={"epoch": epoch},
-                        )
-                if (
+                    # ALL ranks enter save() — orbax's save is a collective;
+                    # only the primary host touches the filesystem
+                    self.ckpt.save(
+                        jax.device_get(self.state), step,
+                        extra_meta={"epoch": epoch},
+                    )
+                # --- coordinated exit decisions -------------------------------
+                # RSS: require some progress first so a too-low threshold
+                # cannot cause an exec storm.  Both RSS and SIGTERM are
+                # PER-HOST local state, but the decision must be GLOBAL: on
+                # multi-host runs every rank reaches the log boundary in
+                # lockstep, so the flags are allgathered — if ANY rank is
+                # over its limit (or was signalled) all ranks break together
+                # at the SAME step (no rank left behind to deadlock in the
+                # next sharded collective) and the checkpoint save below is
+                # entered collectively.
+                rss_eligible = (
                     rss_limit
                     and step < self.max_updates
                     and step % self.log_interval == 0
                     and steps_this_process >= 2 * self.log_interval
-                ):
-                    # require some progress first so a too-low threshold
-                    # cannot cause an exec storm.  The RSS is PER-HOST local
-                    # state, but the decision must be GLOBAL: on multi-host
-                    # runs every rank reaches this boundary in lockstep, so
-                    # we allgather an "exceeded" flag — if ANY rank is over
-                    # its limit all ranks break together (no rank left behind
-                    # to deadlock in the next sharded collective) and rank 0
-                    # saves the checkpoint below.
-                    exceeded = _host_rss_mb() > rss_limit
-                    if self.num_replicas > 1:
+                )
+                if self.num_replicas > 1:
+                    if step % self.log_interval == 0:
                         from jax.experimental import multihost_utils
 
+                        exceeded = bool(rss_eligible) and _host_rss_mb() > rss_limit
                         flags = np.asarray(multihost_utils.process_allgather(
-                            np.array([exceeded], np.int32)
-                        ))
-                        exceeded = bool(flags.any())
-                    if exceeded:
+                            np.array([exceeded, stop_requested["flag"]], np.int32)
+                        )).reshape(-1, 2)
+                        if bool(flags[:, 0].any()):
+                            print(
+                                f"| host RSS {_host_rss_mb()} MB (limit {rss_limit} "
+                                "MB, exceeded on >=1 rank): checkpointing and "
+                                "restarting (backend host-memory leak workaround)"
+                            )
+                            restart_requested = True
+                            break
+                        if bool(flags[:, 1].any()):
+                            stop_requested["flag"] = True
+                            break
+                else:
+                    if rss_eligible and _host_rss_mb() > rss_limit:
                         print(
-                            f"| host RSS {_host_rss_mb()} MB (limit {rss_limit} MB, "
-                            f"exceeded on >=1 rank): checkpointing and restarting "
+                            f"| host RSS {_host_rss_mb()} MB (limit {rss_limit} MB): "
+                            "checkpointing and restarting "
                             "(backend host-memory leak workaround)"
                         )
                         restart_requested = True
                         break
-                if stop_requested["flag"]:
-                    break
+                    if stop_requested["flag"]:
+                        break
             if stop_requested["flag"] or restart_requested:
                 break
             epoch += 1
@@ -541,7 +624,7 @@ class Trainer:
         if trace_stop_at > 0 and self.rank == 0:  # ended before capture window
             jax.profiler.stop_trace()
         if stop_requested["flag"] or restart_requested:
-            if self.rank == 0 and last_validated != step:
+            if last_validated != step:
                 self.ckpt.save(jax.device_get(self.state), step,
                                extra_meta={"epoch": epoch})
             if restart_requested:
@@ -554,8 +637,7 @@ class Trainer:
         # final validation + checkpoint (skip if the last step just validated)
         if last_validated != step:
             self.validate(step, key)
-            if self.rank == 0:
-                self.ckpt.save(jax.device_get(self.state), step, extra_meta={"epoch": epoch})
+            self.ckpt.save(jax.device_get(self.state), step, extra_meta={"epoch": epoch})
         print(f"| training finished at step {step}")
 
     def _exec_restart(self, step: int, save: bool = True):
@@ -593,14 +675,23 @@ class Trainer:
         os.execve(sys.executable, argv, env)
 
     def validate(self, step: int, key: jax.Array, sanity: bool = False):
+        """Validation runs the FULL valid set on every host in lockstep:
+        each jitted loss call is a global-mesh program, so all processes
+        must enter it together with identical shapes — the simplest correct
+        multi-host layout is identical (replicated-content) batches sharded
+        over the dp axis.  Totals are therefore already global: no cross-
+        host reduction is needed (the result equals the reference's
+        sync_dist=True weighted mean, ref: basics/base_task.py:292).
+        Validation is rare and small, so forgoing cross-host data splitting
+        costs little and removes a collective-ordering hazard."""
         val_sampler = DistributedBatchSampler(
             self.valid_dataset,
             max_batch_frames=self.cfg.get("max_val_batch_frames", 60000),
             max_batch_size=self.cfg.get("max_val_batch_size", 1),
-            num_replicas=self.num_replicas, rank=self.rank,
+            num_replicas=1, rank=0,
             shuffle_sample=False, sort_by_similar_size=False,
-            # ref val sampler: ranks may be uneven / empty rather than
-            # double-counting duplicated batches (basics/base_task.py:359-369)
+            # ref val sampler: no duplicated-batch padding
+            # (basics/base_task.py:359-369)
             disallow_empty_batch=False, pad_batch_assignment=False,
         )
         val_sampler.set_epoch(0)
@@ -619,21 +710,6 @@ class Trainer:
             for k, v in out.items():
                 totals[k] = totals.get(k, 0.0) + float(v) * bs
             weights += bs
-        # cross-host reduction: val batches are disjoint per rank, so summing
-        # weighted totals over processes gives the full-set losses (the
-        # reference's sync_dist=True / torchmetrics dist-sum semantics,
-        # ref: basics/base_task.py:292)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            names = sorted(totals)
-            vec = np.array([totals.get(k, 0.0) for k in names] + [weights],
-                           np.float64)
-            summed = np.asarray(
-                multihost_utils.process_allgather(vec)
-            ).sum(axis=0)
-            totals = dict(zip(names, summed[:-1]))
-            weights = float(summed[-1])
         losses = {k: v / max(weights, 1e-9) for k, v in totals.items()}
         total = sum(losses.values())
         if self.rank == 0:
@@ -643,7 +719,11 @@ class Trainer:
             self.writer.add_scalar("validation/total_loss", total, step)
             for k, v in losses.items():
                 self.writer.add_scalar(f"validation/{k}", v, step)
-        if self.on_validation_extras is not None and not sanity and self.rank == 0:
+        # extras (plots/audio) run model applies OUTSIDE the lockstep jits;
+        # on a multi-process mesh a rank-0-only apply over global arrays
+        # would hang the other ranks, so extras are single-process only
+        if (self.on_validation_extras is not None and not sanity
+                and self.rank == 0 and jax.process_count() == 1):
             try:
                 self.on_validation_extras(self, step, key)
             except Exception as e:  # extras (plots/audio) must not kill training
