@@ -557,3 +557,91 @@ def test_export_variance_onnx(tmp_path):
         for o in outs:
             assert got[o].shape == (1, 512), (gname, o)
             assert np.isfinite(got[o]).all()
+
+
+def test_variance_onnx_graph_passes_applied(tmp_path, monkeypatch):
+    """VERDICT r4 task 6: the default-on simplify passes (hoist-loop-
+    invariants / fold-constants / DCE) must cover the ddpm-loop pitch.onnx
+    and variance.onnx artifacts too, not just the reflow acoustic graph:
+    vs an export with the passes disabled, the optimized artifacts must
+    shed Loop-body nodes (the per-step conditioner projections leave the
+    loop) AND produce identical outputs under a fixed noise stream."""
+    wd = tmp_path / "exp_var_gp"
+    wd.mkdir()
+    cfg = load_config(
+        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/variance.yaml"
+    )
+    cfg.update(
+        work_dir=str(wd), dictionary=str(DICT), exp_name="export_var_gp",
+        enc_layers=1, predict_dur=True, predict_pitch=True,
+        predict_energy=True, predict_breathiness=True,
+        diffusion_type="ddpm", timesteps=20, K_step=20,
+    )
+    cfg["dur_prediction_args"].update(hidden_size=32, num_layers=1)
+    cfg["pitch_prediction_args"].update(repeat_bins=8)
+    cfg["pitch_prediction_args"]["backbone_args"].update(num_layers=1, num_channels=16)
+    cfg["variances_prediction_args"].update(total_repeat_bins=8)
+    cfg["variances_prediction_args"]["backbone_args"].update(num_layers=1, num_channels=16)
+
+    from xiaoicesing_io_tpu.training.checkpoint import CheckpointManager
+    from xiaoicesing_io_tpu.training.variance import build_variance, init_variance_state
+    from xiaoicesing_io_tpu.utils.phonemes import PhonemeDictionary
+    from xiaoicesing_io_tpu.utils.text_encoder import TokenTextEncoder
+
+    enc = TokenTextEncoder(PhonemeDictionary.load(DICT).phoneme_list)
+    model, core, normalizers = build_variance(cfg, enc.vocab_size)
+    state = init_variance_state(model, cfg, enc.vocab_size, jax.random.PRNGKey(0))
+    CheckpointManager(wd, category="variance").save(state, step=10)
+
+    import yaml
+
+    from xiaoicesing_io_tpu.deployment import graph_passes
+    from xiaoicesing_io_tpu.deployment.export import export_variance
+    from xiaoicesing_io_tpu.deployment.onnx_proto import parse_model
+    from xiaoicesing_io_tpu.deployment.onnx_run import run_graph
+
+    out_opt = export_variance(cfg, out_dir=str(tmp_path / "opt"), fmt="onnx")
+    monkeypatch.setattr(graph_passes, "simplify_graph",
+                        lambda g, verbose=False: g)
+    out_raw = export_variance(cfg, out_dir=str(tmp_path / "raw"), fmt="onnx")
+
+    manifest = yaml.safe_load((out_opt / "dsconfig.yaml").read_text())
+    for gname, outs in (("pitch_merged", ["pitd"]),
+                        ("variance_merged", ["energy", "breathiness"])):
+        rel = manifest["graphs"][gname]
+        g_opt, _ = parse_model((out_opt / rel).read_bytes())
+        g_raw, _ = parse_model((out_raw / rel).read_bytes())
+
+        def body(g):
+            return next(n for n in g.nodes if n.op_type == "Loop").attrs["body"]
+
+        def heavy(b):
+            return sum(1 for n in b.nodes
+                       if n.op_type in ("MatMul", "Conv", "Gemm"))
+
+        # node-count budget: the loop body sheds nodes, including at least
+        # one matmul/conv (the conditioner projections now run ONCE)
+        assert len(body(g_opt).nodes) < len(body(g_raw).nodes), gname
+        assert heavy(body(g_opt)) < heavy(body(g_raw)), gname
+
+        rng = np.random.default_rng(3)
+        feeds = {}
+        for name, et, shape in g_raw.inputs:
+            if name == "depth":
+                feeds[name] = np.asarray(1.0, np.float32)
+            elif name == "steps":
+                feeds[name] = np.asarray(2, np.int64)
+            elif et == 7:
+                feeds[name] = rng.integers(1, 4, shape).astype(np.int64)
+            elif et == 6:
+                feeds[name] = np.clip(np.sort(
+                    rng.integers(1, 5, shape)), 1, None).astype(np.int32)
+            elif et == 9:
+                feeds[name] = np.zeros(shape, bool)
+            else:
+                feeds[name] = rng.standard_normal(shape).astype(np.float32)
+        got_raw = run_graph(g_raw, feeds, rng=np.random.default_rng(7))
+        got_opt = run_graph(g_opt, feeds, rng=np.random.default_rng(7))
+        for o in outs:
+            np.testing.assert_allclose(got_opt[o], got_raw[o],
+                                       atol=1e-5, rtol=1e-5, err_msg=(gname, o))

@@ -18,9 +18,10 @@ This module implements the TPU-framework equivalents over our own
   samplers this hoists exactly the per-layer conditioner projections (they
   depend only on ``condition``), so a consumer no longer recomputes them K
   times.
-* ``fold_constants`` — evaluates nodes whose inputs are all initializers
-  with the in-repo numpy executor and replaces them with initializers
-  (onnxsim's core).
+* ``fold_constants`` — evaluates nodes whose inputs are all constants with
+  the in-repo numpy executor and replaces them with initializers (onnxsim's
+  core), recursing into ``Loop``/``If``/``Scan`` bodies with outer-scope
+  constants visible (onnxsim also folds inside subgraphs).
 * ``eliminate_dead`` — drops nodes and initializers unreachable from the
   graph outputs, recursing into subgraph bodies
   (ref ``utils/onnx_helper.py:316`` dead-value elimination).
@@ -120,27 +121,48 @@ def hoist_loop_invariants(graph: Graph) -> Tuple[Graph, int]:
                  new_inits), n_hoisted
 
 
-def fold_constants(graph: Graph) -> Tuple[Graph, int]:
-    """Replace nodes whose inputs are all initializers with initializers.
+def fold_constants(graph: Graph, outer_const: Dict[str, np.ndarray] = None
+                   ) -> Tuple[Graph, int]:
+    """Replace nodes whose inputs are all constants with initializers.
 
     Evaluation reuses the in-repo numpy executor one node at a time; ops it
     cannot execute are simply kept.  Nodes producing graph outputs are kept
     (an output backed directly by an initializer confuses some runtimes).
-    """
+
+    Recurses into ``Loop``/``If``/``Scan`` bodies (onnxsim folds everywhere,
+    ``/root/reference/deployment/exporters/acoustic_exporter.py:333-361``):
+    body nodes fold against the body's own initializers PLUS the enclosing
+    scope's constants (``outer_const`` — ONNX outer-scope capture), with the
+    subgraph's formal inputs and redefined node outputs shadowing outer
+    names.  The control node itself is never folded (its body runs per
+    iteration), but constant subcomputation inside the body — e.g. anything
+    depending only on the carried state's SHAPE — collapses to body
+    initializers."""
     from .onnx_run import run_graph
 
-    const: Dict[str, np.ndarray] = {t.name: t.array for t in graph.initializers}
+    const: Dict[str, np.ndarray] = dict(outer_const or {})
+    const.update({t.name: t.array for t in graph.initializers})
+    for name, *_ in graph.inputs:  # formal inputs shadow outer names
+        const.pop(name, None)
     out_names = {o[0] for o in graph.outputs}
     new_nodes: List[Node] = []
     new_inits = list(graph.initializers)
     n_folded = 0
     for node in graph.nodes:
+        # fold inside subgraph bodies first, against the constants visible
+        # at this point of the enclosing scope
+        for k, sub in _subgraph_attrs(node):
+            folded_sub, n_sub = fold_constants(sub, const)
+            node.attrs[k] = folded_sub
+            n_folded += n_sub
         if (
             node.op_type in NONDETERMINISTIC_OPS
             or node.op_type in CONTROL_OPS
             or any(o in out_names for o in node.outputs)
             or any(x and x not in const for x in node.inputs)
         ):
+            for o in node.outputs:  # redefinition shadows any outer constant
+                const.pop(o, None)
             new_nodes.append(node)
             continue
         feed_names = {x for x in node.inputs if x}
@@ -151,6 +173,8 @@ def fold_constants(graph: Graph) -> Tuple[Graph, int]:
         try:
             res = run_graph(mini, {})
         except Exception:  # op the executor can't fold: keep the node
+            for o in node.outputs:
+                const.pop(o, None)
             new_nodes.append(node)
             continue
         for o in node.outputs:
