@@ -121,9 +121,30 @@ def main():
             vals = [v[k] for v in vals]
         return float(np.mean(vals))
 
+    # per-item win counts + two-sided binomial sign test (VERDICT r4 task
+    # 1b: a mean carried by one item is not a crossover — report whether
+    # the posterior mean beats the aux decoder ITEM-WISE, with the p-value
+    # of the sign test against a 50/50 null)
+    from math import comb
+
+    n = len(rows)
+
+    def _sign_test(wins):
+        m = min(wins, n - wins)
+        return min(1.0, 2 * sum(comb(n, k) for k in range(m + 1)) / 2 ** n)
+
+    postmean_wins = sum(
+        1 for r in rows if r["mae_postmean_gt"] < r["mae_aux_gt"])
+    single_wins = sum(
+        1 for r in rows if r["mae_sample_gt"] < r["mae_aux_gt"])
+
     report = {
         "exp": args.exp, "ckpt": args.ckpt, "items": len(rows),
         "seeds": args.seeds,
+        "postmean_wins_items": postmean_wins,
+        "postmean_sign_test_p": _sign_test(postmean_wins),
+        "single_sample_wins_items": single_wins,
+        "single_sample_sign_test_p": _sign_test(single_wins),
         "mean_mae_sample_gt": _avg("mae_sample_gt"),
         "mean_mae_aux_gt": _avg("mae_aux_gt"),
         "mean_mae_between_samples": _avg("mae_between_samples"),

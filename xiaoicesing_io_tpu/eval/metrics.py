@@ -206,3 +206,45 @@ def pesq_approx(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
     raw = 4.5 - 0.38 * np.sqrt(D) - 0.012 * np.sqrt(DA)
     # P.862.1-style logistic mapping to [1.0, 5.0]
     return float(0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607)))
+
+
+def griffin_lim_from_logmel(logmel: np.ndarray, mel_cfg: "MelConfig" = None,
+                            n_iter: int = 32, seed: int = 0) -> np.ndarray:
+    """Invert an ln-mel spectrogram to a waveform with Griffin-Lim.
+
+    Deterministic mel->wav map for waveform-domain eval when no trained
+    neural vocoder is available in the environment: mel amplitudes are
+    mapped back to the linear-frequency magnitude spectrogram with the
+    pseudo-inverse of the slaney filterbank and phase is recovered by
+    ``n_iter`` Griffin-Lim iterations.  Both arms of a comparison share the
+    same map, so relative PESQ/MCD orderings remain meaningful even though
+    absolute quality is below a trained NSF-HiFiGAN.
+
+    :param logmel: [T, M] natural-log mel amplitudes (the binarized format,
+        ref ``modules/nsf_hifigan/nvSTFT.py:84`` dynamic range compression)
+    :return: waveform [~T * hop] in [-1, 1]
+    """
+    from scipy.signal import istft, stft
+
+    from ..ops.mel import MelConfig, mel_filterbank
+
+    c = mel_cfg or MelConfig()
+    basis = mel_filterbank(c.sample_rate, c.n_fft, c.n_mels, c.fmin, c.fmax)
+    amp_mel = np.exp(np.asarray(logmel, np.float64)).T  # [M, T]
+    # non-negative least-squares-ish inversion via pinv + clip
+    lin = np.clip(np.linalg.pinv(basis) @ amp_mel, 0.0, None)  # [F, T]
+
+    rng = np.random.default_rng(seed)
+    kw = dict(fs=c.sample_rate, window="hann", nperseg=c.win_size,
+              noverlap=c.win_size - c.hop_size, nfft=c.n_fft)
+    angles = np.exp(2j * np.pi * rng.random(lin.shape))
+    for _ in range(n_iter):
+        _, wav = istft(lin * angles, **kw)
+        _, _, spec = stft(wav, **kw)
+        spec = spec[:, : lin.shape[1]]
+        if spec.shape[1] < lin.shape[1]:
+            spec = np.pad(spec, ((0, 0), (0, lin.shape[1] - spec.shape[1])))
+        angles = np.exp(1j * np.angle(spec))
+    _, wav = istft(lin * angles, **kw)
+    peak = np.max(np.abs(wav)) or 1.0
+    return (wav / max(peak, 1.0)).astype(np.float32)
