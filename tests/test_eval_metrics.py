@@ -150,3 +150,29 @@ class TestPesqApprox:
         deg16 = resample_poly(deg, 160, 441)
         s16 = pesq_approx(wav16, deg16, 16000)
         assert abs(s44 - s16) < 0.25, (s44, s16)
+
+
+def test_griffin_lim_inversion_orders_quality():
+    """Griffin-Lim inversion (the waveform-eval fallback when no trained
+    vocoder exists) must reconstruct a harmonic signal well enough that
+    PESQ-approx orders a clean mel above a corrupted one."""
+    from xiaoicesing_io_tpu.eval.metrics import (
+        griffin_lim_from_logmel,
+        pesq_approx,
+    )
+    from xiaoicesing_io_tpu.ops.mel import MelConfig, MelSpectrogram
+
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    y = (0.4 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    ext = MelSpectrogram(MelConfig())
+    lm = ext.numpy(y)
+    w = griffin_lim_from_logmel(lm)
+    assert abs(len(w) - len(lm) * 512) < 2048  # ~frames*hop samples
+    w_bad = griffin_lim_from_logmel(
+        lm + np.random.default_rng(0).normal(0, 0.5, lm.shape))
+    m = min(len(w), len(y))
+    good = pesq_approx(y[:m], w[:m], sr)
+    bad = pesq_approx(y[:m], w_bad[:m], sr)
+    assert good > bad + 0.2, (good, bad)
