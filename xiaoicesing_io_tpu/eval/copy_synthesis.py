@@ -253,6 +253,7 @@ def evaluate_acoustic(
 def evaluate_variance(
     cfg, dataset: str = "valid", limit: Optional[int] = None,
     ckpt_steps: Optional[int] = None,
+    rhythm_tolerances=(0.05, 0.1, 0.2, 0.3),
 ) -> Dict:
     """Objective metrics of a trained variance model over a binarized set —
     the same metrics the reference computes at validation
@@ -294,9 +295,17 @@ def evaluate_variance(
         raise ValueError(
             f"nothing to evaluate: dataset '{dataset}' has {len(ds)} items, limit={limit}"
         )
-    rhythm = RhythmCorrectness(tolerance=0.05)
+    # full word-sum tolerance sweep (round-4 root-cause diagnostic, kept as
+    # a first-class output): rhythm@tol for every requested tolerance plus
+    # the median relative word-sum error the thresholds are cutting
+    rhythms = {tol: RhythmCorrectness(tolerance=tol)
+               for tol in rhythm_tolerances}
+    rhythm = rhythms.get(0.05) or RhythmCorrectness(tolerance=0.05)
+    if 0.05 not in rhythms:
+        rhythms[0.05] = rhythm
     ph_acc = PhonemeDurationAccuracy(tolerance=0.2)
     pitch_acc = RawCurveAccuracy(tolerance=0.5)
+    wordsum_rel_errs = []
     key = jax.random.PRNGKey(0)
     for i in range(n):
         b = ds.collate([i], pad_to_bucket=True)
@@ -311,8 +320,16 @@ def evaluate_variance(
                 infer=True, method=VarianceModel.encode, **spk_kwargs,
             )
             mask = np.asarray(b["tokens"]) > 0
-            rhythm.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
+            for m_ in rhythms.values():
+                m_.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
             ph_acc.update(np.asarray(dur_pred), b["ph_dur"], b["ph2word"], mask=mask)
+            pd_, gt_, w_, mm = (np.asarray(dur_pred)[0], np.asarray(b["ph_dur"])[0],
+                                np.asarray(b["ph2word"])[0], mask[0])
+            sums_p = np.bincount(w_[mm], weights=pd_[mm])
+            sums_g = np.bincount(w_[mm], weights=gt_[mm])
+            sel = sums_g > 0
+            wordsum_rel_errs.extend(
+                (np.abs(sums_p[sel] - sums_g[sel]) / sums_g[sel]).tolist())
         if predict_pitch:
             key, k_item = jax.random.split(key)
             pred_pitch, _ = sample_variance_inference(
@@ -330,6 +347,12 @@ def evaluate_variance(
     if predict_dur:
         out["rhythm_corr"] = float(rhythm.compute())
         out["ph_dur_acc"] = float(ph_acc.compute())
+        out["rhythm_sweep"] = {
+            str(tol): float(m_.compute()) for tol, m_ in sorted(rhythms.items())
+        }
+        out["median_wordsum_rel_err"] = float(np.median(wordsum_rel_errs)) \
+            if wordsum_rel_errs else None
+        out["n_words"] = len(wordsum_rel_errs)
     if predict_pitch:
         out["pitch_acc"] = float(pitch_acc.compute())
     return out
