@@ -152,6 +152,9 @@ def main():
     ap.add_argument("--limit-valid", type=int, default=9)
     ap.add_argument("--budget", type=int, default=9000)
     ap.add_argument("--save-model", default=None)
+    ap.add_argument("--init-from", default=None,
+                    help="state_dict .pt to continue from (with --start-step)")
+    ap.add_argument("--start-step", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -187,6 +190,10 @@ def main():
     model = DiffSingerAcoustic(vocab_size=vocab, out_dims=128)
     n_params = sum(p.numel() for p in model.parameters())
     print(f"| reference model: {n_params/1e6:.2f} M params, vocab {vocab}")
+    if args.init_from:
+        model.load_state_dict(torch.load(args.init_from, weights_only=True))
+        print(f"| resumed weights from {args.init_from} "
+              f"(step {args.start_step})")
     opt = torch.optim.Adam(model.parameters(), lr=4e-4)
     aux_loss_fn = torch.nn.L1Loss()
     mel_loss_fn = RectifiedFlowLoss("l2", log_norm=False)
@@ -307,8 +314,8 @@ def main():
             p.parent.mkdir(parents=True, exist_ok=True)
             p.write_text(json.dumps(report, indent=2))
 
-    rng = np.random.default_rng(0)
-    step = 0
+    rng = np.random.default_rng(args.start_step)
+    step = args.start_step
     t0 = time.time()
     model.train()
     while step < args.steps:
@@ -328,9 +335,10 @@ def main():
             opt.step()
             step += 1
             if step % 100 == 0:
+                rate = (time.time() - t0) / max(step - args.start_step, 1)
                 print(f"| step {step}: aux {float(aux_l.detach()):.4f}"
                       f" mel {float(mel_l.detach()):.4f}"
-                      f" ({(time.time()-t0)/step:.2f} s/step)", flush=True)
+                      f" ({rate:.2f} s/step)", flush=True)
             if args.eval_every and step % args.eval_every == 0 and step < args.steps:
                 evals.append(evaluate(step))
                 write_report(step)
