@@ -265,16 +265,23 @@ def main(B=B, T_F=T_F, K=K, wavenet_check=True):
 
         # vocoder roofline (VERDICT r4 task 5): flops/bytes from the pure-XLA
         # generator (identical math to the time-folded/Pallas-staged fast
-        # path), timed against the production fast path.  hbm_util >> mfu
-        # means the stage sits on the bandwidth roof and "fewer flops" won't
-        # move it; headroom would show as both utilizations being low.
-        voc_mfu = voc_hbm = None
+        # path), timed against the production fast path.  "bytes accessed"
+        # is XLA's PRE-FUSION nominal traffic (every op's reads+writes), an
+        # upper bound on real HBM bytes — so demand_x_peak > 1 at modest MFU
+        # proves the stage sits on the bandwidth roof even after fusion
+        # recovers part of the nominal traffic; compute headroom would show
+        # as BOTH ratios being low.
+        voc_mfu = voc_hbm = voc_bound = None
         try:
             j_voc_xla = jax.jit(lambda p, m, f: gen.apply(p, m, f))
             voc_flops, voc_bytes = _cost(j_voc_xla, vparams, mel, f0)
             if voc_flops > 0:
                 voc_mfu = voc_flops / t_voc / PEAK_FLOPS
                 voc_hbm = voc_bytes / t_voc / PEAK_HBM
+                voc_bound = (
+                    "bandwidth" if voc_hbm > max(1.0, voc_mfu) else
+                    "compute" if voc_mfu > 0.5 else "mixed"
+                )
         except Exception:
             pass
         print(json.dumps({
@@ -289,7 +296,8 @@ def main(B=B, T_F=T_F, K=K, wavenet_check=True):
             "sampler_mfu_bf16_v5e": round(mfu, 3) if mfu else None,
             "sampler_flops_source": sampler_flops_source,
             "vocoder_mfu_bf16_v5e": round(voc_mfu, 3) if voc_mfu else None,
-            "vocoder_hbm_util_v5e": round(voc_hbm, 3) if voc_hbm else None,
+            "vocoder_hbm_demand_x_peak": round(voc_hbm, 3) if voc_hbm else None,
+            "vocoder_bound": voc_bound,
         }), flush=True)
     except Exception as e:  # noqa: BLE001 - diagnostic must not kill the bench
         print(json.dumps({"metric": "stage_breakdown_ms", "error": str(e)}),
