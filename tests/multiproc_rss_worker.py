@@ -53,7 +53,7 @@ init_distributed(coordinator=f"localhost:{port}", num_processes=nproc,
 
 from xiaoicesing_io_tpu.config import load_config  # noqa: E402
 from xiaoicesing_io_tpu.training.checkpoint import latest_checkpoint  # noqa: E402
-from xiaoicesing_io_tpu.training.tasks import build_acoustic_trainer  # noqa: E402
+from xiaoicesing_io_tpu.training.tasks import build_trainer_from_config  # noqa: E402
 
 cfg = load_config(cfg_yaml)
 if mode == "rss":
@@ -62,7 +62,7 @@ if mode == "rss":
 else:
     cfg["max_host_rss_mb"] = 0
 
-trainer = build_acoustic_trainer(cfg)
+trainer = build_trainer_from_config(cfg)
 trainer.fit()  # multi-host: _exec_restart is a no-op, fit() returns
 
 step = int(jax.device_get(trainer.state.step))

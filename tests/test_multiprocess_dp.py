@@ -186,7 +186,7 @@ def test_two_process_variance_dp(tmp_path):
                                    err_msg=k)
 
 
-def _trainer_cfg_yaml(tmp_path, exp_name, **overrides):
+def _trainer_cfg_yaml(tmp_path, exp_name, variance=False, **overrides):
     """Tiny corpus + binarize ONCE in this process (workers share the dir);
     returns the config yaml path for multiproc_rss_worker.py."""
     import yaml as _yaml
@@ -214,29 +214,47 @@ def _trainer_cfg_yaml(tmp_path, exp_name, **overrides):
 
     from xiaoicesing_io_tpu.config import Config, load_config
 
+    kind = "variance" if variance else "acoustic"
     cfg = load_config(
-        Path(__file__).parent.parent / "xiaoicesing_io_tpu/configs/acoustic.yaml"
+        Path(__file__).parent.parent / f"xiaoicesing_io_tpu/configs/{kind}.yaml"
     )
     cfg.update(
-        raw_data_dir=[str(root / "raw")], binary_data_dir=str(root / "binary"),
+        raw_data_dir=[str(root / "raw")],
+        binary_data_dir=str(root / f"binary_{kind}"),
         dictionary=str(root / "dictionary.txt"), speakers=["s"],
         test_prefixes=["item0"], work_dir=str(tmp_path / "ckpts" / exp_name),
         exp_name=exp_name, enc_layers=1, precision="fp32",
         log_interval=1, val_check_interval=100000,
         # one item per batch: 3 train items -> 3 batches, enough for 2 ranks
         num_sanity_val_steps=0, max_batch_frames=2000, max_batch_size=1,
-        backbone_args=Config(num_channels=32, num_layers=1, kernel_size=31,
-                             strong_cond=True),
     )
+    if variance:
+        cfg.update(hidden_size=64, predict_dur=True, predict_pitch=True,
+                   predict_energy=True, predict_breathiness=True)
+        cfg["dur_prediction_args"].update(hidden_size=32, num_layers=1)
+        cfg["pitch_prediction_args"].update(repeat_bins=8)
+        cfg["pitch_prediction_args"]["backbone_args"].update(
+            num_layers=1, num_channels=16)
+        cfg["variances_prediction_args"].update(total_repeat_bins=8)
+        cfg["variances_prediction_args"]["backbone_args"].update(
+            num_layers=1, num_channels=16)
+    else:
+        cfg.update(backbone_args=Config(num_channels=32, num_layers=1,
+                                        kernel_size=31, strong_cond=True))
     cfg.update(**overrides)
-    cfg["shallow_diffusion_args"]["aux_decoder_args"].update(
-        num_channels=32, num_layers=1)
-    from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import (
-        AcousticBinarizer,
-    )
+    if not variance:
+        cfg["shallow_diffusion_args"]["aux_decoder_args"].update(
+            num_channels=32, num_layers=1)
+        from xiaoicesing_io_tpu.preprocessing.acoustic_binarizer import (
+            AcousticBinarizer as Binarizer,
+        )
+    else:
+        from xiaoicesing_io_tpu.preprocessing.variance_binarizer import (
+            VarianceBinarizer as Binarizer,
+        )
 
-    if not (root / "binary/train.data").exists():
-        AcousticBinarizer(cfg).process()
+    if not (root / f"binary_{kind}/train.data").exists():
+        Binarizer(cfg).process()
 
     def _plain(x):
         if isinstance(x, dict):
@@ -338,3 +356,23 @@ def test_two_process_trainer_fit(tmp_path):
     for o in outs:
         assert "training finished at step 6" in o, o[-2000:]
     assert any("validation @ step 3" in o for o in outs), outs[0][-2000:]
+
+
+@pytest.mark.slow
+def test_two_process_variance_trainer_fit(tmp_path):
+    """Variance model through the multi-process Trainer.fit(): exercises
+    the token/frame/NOTE-dimension cross-rank shape agreement (variance
+    batches carry note_midi/note_dur arrays whose padded length must also
+    be identical across hosts) plus retake masks and the multi-head losses
+    under the per-rank-disjoint feed."""
+    cfg_path = _trainer_cfg_yaml(tmp_path, "mh_var_fit", variance=True,
+                                 max_updates=6, val_check_interval=3,
+                                 num_sanity_val_steps=1)
+    results, outs = _run_trainer_workers(tmp_path, cfg_path, "plain")
+
+    for r in results:
+        assert r["stopped_at_step"] == 6, results
+        assert r["ckpt_meta"] is not None and r["ckpt_meta"]["step"] == 6, results
+    assert results[0]["params_sha"] == results[1]["params_sha"], results
+    for o in outs:
+        assert "training finished at step 6" in o, o[-2000:]
