@@ -177,10 +177,16 @@ def lynx_conv_module(
         ],
         out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        # default scoped-vmem limit (16M) trips at B>=8 even though the
-        # per-block working set is B-independent; v5e has 128M vmem
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+        # Scoped-vmem cap: Mosaic's default budget (16M) trips at B>=8 even
+        # though the per-block working set is B-independent (v5e has 128M),
+        # but raising the cap unconditionally costs ~5% on the B=4 headline
+        # shape — Mosaic schedules the pipeline differently against the
+        # larger budget (measured round 5: 6.78 -> 7.12 ms/step, the whole
+        # r2->r3 headline drift; docs/PerformanceNotes.md).  Raise it only
+        # for the large row counts that actually need it.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if total > 12288 else None
         ),
         interpret=interpret,
     )(
