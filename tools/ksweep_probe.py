@@ -21,7 +21,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
@@ -56,7 +59,16 @@ def main() -> None:
     args = ap.parse_args()
 
     from xiaoicesing_io_tpu.config import load_config
+    from xiaoicesing_io_tpu.data.dataset import AcousticDataset
     from xiaoicesing_io_tpu.eval.copy_synthesis import evaluate_acoustic
+
+    # one padded shape for every item -> one sampler compile per config
+    cfg0 = load_config(None, exp_name=args.exp, infer=True)
+    ds = AcousticDataset(cfg0["binary_data_dir"], "valid", cfg0)
+    n = len(ds) if args.limit is None else min(args.limit, len(ds))
+    pad_f = max(ds[i]["mel"].shape[0] for i in range(n))
+    pad_t = max(len(ds[i]["tokens"]) for i in range(n))
+    del ds
 
     results = []
     for algo, steps in SWEEP:
@@ -65,7 +77,7 @@ def main() -> None:
         cfg["sampling_steps"] = steps
         report = evaluate_acoustic(
             cfg, dataset="valid", limit=args.limit, seed=args.seed,
-            ckpt_steps=args.ckpt,
+            ckpt_steps=args.ckpt, pad_frames_to=pad_f, pad_tokens_to=pad_t,
         )
         row = {
             "algorithm": algo,

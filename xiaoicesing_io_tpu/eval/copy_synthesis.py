@@ -58,6 +58,7 @@ def _batch_from_item(cfg, infer, b: Dict[str, np.ndarray]) -> Dict:
 def evaluate_acoustic(
     cfg, dataset: str = "valid", limit: Optional[int] = None, seed: int = 0,
     with_pesq: bool = False, ckpt_steps: Optional[int] = None,
+    pad_frames_to: int = 0, pad_tokens_to: int = 0,
 ) -> Dict:
     """Returns {"items": [{name, frames, mel_mae, aux_mae}...],
     "mean_mel_mae": float[, "mean_aux_mae": float], "step": int}.
@@ -109,7 +110,12 @@ def evaluate_acoustic(
         )
     items = []
     for i in range(n):
-        b = ds.collate([i], pad_to_bucket=True)
+        # forcing one padded shape across items (pad_frames_to/pad_tokens_to)
+        # lets a sweep over sampler configs compile ONE program per config
+        # instead of one per length bucket (the tunneled remote compiler is
+        # the bottleneck); metrics are masked, so padding is quality-neutral
+        b = ds.collate([i], pad_to_bucket=True,
+                       pad_frames_to=pad_frames_to, pad_tokens_to=pad_tokens_to)
         gt = np.asarray(b["mel"])
         mask = np.asarray(b["mel2ph"])[0] > 0
         batch = _batch_from_item(cfg, infer, b)
