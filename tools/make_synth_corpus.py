@@ -184,6 +184,9 @@ def synth_item(rng, secs, spk):
 
 
 def main():
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__.split("Usage:")[-1].strip())
+        sys.exit(0 if len(sys.argv) > 1 else 2)
     root = Path(sys.argv[1])
     minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 25.0
     n_spk = int(sys.argv[3]) if len(sys.argv) > 3 else 3
